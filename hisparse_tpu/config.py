@@ -1,0 +1,109 @@
+"""Overlay-wide configuration — the TPU-native analog of the reference's L1 layer.
+
+The reference (cornell-zhang/HiSparse) fixes its design point in
+``spmv/libfpga/common.h``: ``PACK_SIZE=8`` lanes per HBM channel (:30),
+``VAL_T = ap_ufixed<32,8,AP_RND,AP_SAT>`` (:35-39), 16 HBM channels
+(:171-175), output-buffer bank of 8192 words and vector-buffer bank of 4096
+words (:163-166), giving a 1M-row x 32K-col logical tile (:177-179).  The
+benchmark host then overrides the logical tile sizes at runtime
+(``sw/benchmark.cpp:112-115``).
+
+Here the same role is played by :class:`SpmvConfig`: one dataclass holding
+the geometry of the packed stream format and the kernel, overridable per run
+and swept by the DSE (models/dse.py).
+
+TPU mapping of the reference's constants:
+
+===========================  ==================================================
+reference                    this framework
+===========================  ==================================================
+PACK_SIZE=8 (lanes/channel)  LANES=128 (VPU lane count; one slot per lane)
+NUM_HBM_CHANNELS=16          the single HBM stream; multi-chip via parallel/
+OB_BANK_SIZE (8192 words)    ROWS_PER_BLOCK = stripes*LANES (acc tile in VMEM)
+VB_BANK_SIZE (4096 words)    VB = bank_blocks*128*LANES cols resident in VMEM
+SPMV_MAT_PKT_T (512 bit)     one (sublanes x 128) tile of vals + packed idx
+IDX_MARKER / SOD/EOD/EOS     explicit per-tile block/partition id arrays
+                             (scalar-prefetched); TPU control flow must be
+                             data-independent, so in-band markers become
+                             out-of-band schedules
+===========================  ==================================================
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+LANES = 128  # TPU VPU lane count; the analog of the reference's PACK_SIZE=8.
+
+
+@dataclasses.dataclass(frozen=True)
+class SpmvConfig:
+    """Design point for the wavepack format + SpMV kernel.
+
+    Attributes:
+      sublanes: tile height S. One streamed matrix tile is (S, 128) slots.
+        Must be a multiple of 128 (the kernel processes 128-row sublane
+        groups when gathering).
+      bank_blocks: B, number of 128-deep source blocks in the vector buffer.
+        The resident x tile holds ``VB = B*128*128`` columns, the analog of
+        the reference's LOGICAL_VB_SIZE (common.h:178: 4096*8=32K; ours with
+        B=2 is 32K as well, B=4 is 64K).
+      stripes: R, number of row stripes per row block.  A row block covers
+        ``R*128`` rows; each row owns ``S//R`` wave slots per tile.  Small R
+        suits dense rows (pruned-NN), large R suits sparse rows (graphs).
+        The analog of the OB bank-size knob (common.h:163).
+      dtype: value type of the stream. 'fp32' | 'fixed' (saturating unsigned
+        Q8.24 emulated on int32, matching ap_ufixed<32,8,AP_RND,AP_SAT>,
+        common.h:35-39) | 'bf16' (compressed stream fast path).
+      steal_mantissa: fp32 fast path — store the crossbar source lane in the
+        7 low mantissa bits of each value (relative error <= 2^-17, far
+        below the reference's 1e-4 test tolerance, sw/host.cpp:62).  When
+        False the source lane travels in the index word and is transposed
+        back in-kernel (exact; required for 'fixed').
+    """
+
+    sublanes: int = 512
+    bank_blocks: int = 2
+    stripes: int = 512
+    dtype: Literal["fp32", "fixed", "bf16"] = "fp32"
+    steal_mantissa: bool = False
+
+    def __post_init__(self):
+        if self.sublanes % LANES != 0:
+            raise ValueError(f"sublanes must be a multiple of {LANES}")
+        if self.sublanes % self.stripes != 0:
+            raise ValueError("stripes must divide sublanes")
+        if self.bank_blocks < 1 or self.bank_blocks > 8:
+            raise ValueError("bank_blocks must be in [1, 8]")
+        if self.dtype == "fixed" and self.steal_mantissa:
+            raise ValueError("fixed-point stream cannot steal mantissa bits")
+
+    @property
+    def vb_cols(self) -> int:
+        """Columns resident per partition (LOGICAL_VB_SIZE analog)."""
+        return self.bank_blocks * 128 * LANES
+
+    @property
+    def rows_per_block(self) -> int:
+        """Rows per row block (LOGICAL_OB_SIZE analog, common.h:177)."""
+        return self.stripes * LANES
+
+    @property
+    def slots_per_row_per_tile(self) -> int:
+        return self.sublanes // self.stripes
+
+    @property
+    def tile_slots(self) -> int:
+        return self.sublanes * LANES
+
+    @property
+    def groups(self) -> int:
+        """128-sublane groups per tile."""
+        return self.sublanes // 128
+
+
+# Default design points, the analog of the DSE-chosen ob=8K/vb=4K of the
+# paper (SURVEY.md section 6).  Graphs want many rows in flight; pruned-NN
+# wants many slots per row.
+GRAPH_CONFIG = SpmvConfig(sublanes=512, bank_blocks=2, stripes=512)
+NN_CONFIG = SpmvConfig(sublanes=512, bank_blocks=2, stripes=4)

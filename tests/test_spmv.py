@@ -1,0 +1,64 @@
+"""End-to-end SpMV kernel tests in interpret mode vs the CPU golden,
+mirroring the reference's testcase suite (spmv_csim/csim.cpp:597-613:
+dense small, uniform sparse, plus skew) at tolerance 1e-4 (sw/host.cpp:62)."""
+import numpy as np
+import pytest
+
+from hisparse_tpu import (SpmvConfig, dense_csr, uniform_sparse_csr,
+                          powerlaw_csr, pack, spmv)
+from hisparse_tpu.ops.golden import spmv_f64
+
+CFG = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128)
+
+
+def check(m, cfg=CFG, seed=0, tol=1e-4):
+    rng = np.random.default_rng(seed)
+    x = rng.random(m.num_cols).astype(np.float32)
+    wp = pack(m, cfg)
+    y = spmv(wp, x, interpret=True)
+    ref = spmv_f64(m, x)
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(y, ref, atol=tol * scale, rtol=tol)
+
+
+def test_basic_dense_small():
+    check(dense_csr(128, 128, val=0.25))          # test_basic (csim.cpp:600)
+
+
+def test_uniform_small():
+    check(uniform_sparse_csr(256, 256, 10, seed=1))  # test_medium analog
+
+
+def test_uniform_rect():
+    check(uniform_sparse_csr(100, 700, 7, seed=2))
+
+
+def test_powerlaw():
+    check(powerlaw_csr(300, 300, 6, seed=3))
+
+
+def test_multipart_multiblock():
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128)
+    m = powerlaw_csr(cfg.rows_per_block + 100, cfg.vb_cols + 300, 5, seed=4)
+    check(m, cfg)
+
+
+def test_nn_style_config():
+    # dense-ish rows, few of them: stripes < sublanes exercises the
+    # flush-time stripe reduction
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=4)
+    m = uniform_sparse_csr(40, 1000, 120, seed=5)
+    check(m, cfg)
+
+
+def test_multiblock_bank2():
+    cfg = SpmvConfig(sublanes=256, bank_blocks=2, stripes=64)
+    m = powerlaw_csr(cfg.rows_per_block * 2 - 10, cfg.vb_cols + 17, 4, seed=6)
+    check(m, cfg)
+
+
+def test_zero_matrix():
+    from hisparse_tpu import CSRMatrix
+    m = CSRMatrix(50, 60, np.zeros(0, np.float32), np.zeros(0, np.int32),
+                  np.zeros(51, np.int64))
+    check(m)
