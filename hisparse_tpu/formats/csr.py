@@ -134,6 +134,34 @@ def permute_rows(m: CSRMatrix, order: np.ndarray) -> CSRMatrix:
     return CSRMatrix(m.num_rows, m.num_cols, data, idx, indptr)
 
 
+def split_rows(m: CSRMatrix, max_nnz: int) -> tuple["CSRMatrix", np.ndarray]:
+    """Split rows with more than max_nnz nonzeros into virtual rows.
+
+    The TPU analog of the reference's row-interleaving for hub rows: bounds
+    the per-row wave demand so power-law skew cannot dominate tile count
+    (the alpha/beta degradation discussed for max-padded channel streams,
+    sw/host.cpp:184-206).  Returns (matrix with virtual rows, row_map) where
+    row_map[v] is the original row of virtual row v; y = segment-sum of the
+    virtual results by row_map.
+    """
+    nnz_per = m.row_nnz()
+    pieces = np.maximum(1, -(-nnz_per // max_nnz))
+    if (pieces == 1).all():
+        return m, np.arange(m.num_rows, dtype=np.int64)
+    row_map = np.repeat(np.arange(m.num_rows), pieces)
+    n_virtual = int(pieces.sum())
+    indptr = np.zeros(n_virtual + 1, np.int64)
+    v = 0
+    for r in range(m.num_rows):
+        s, e = int(m.indptr[r]), int(m.indptr[r + 1])
+        for p_i in range(int(pieces[r])):
+            v += 1
+            indptr[v] = min(s + (p_i + 1) * max_nnz, e)
+    assert v == n_virtual
+    return (CSRMatrix(n_virtual, m.num_cols, m.data, m.indices, indptr),
+            row_map)
+
+
 def csr_to_csc(m: CSRMatrix) -> CSRMatrix:
     """Counting-sort transpose (csr2csc, data_loader.h:92-157).
 

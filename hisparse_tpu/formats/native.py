@@ -1,0 +1,73 @@
+"""ctypes loader for the C++ wavepack scheduler (_scheduler.cpp).
+
+The production analog of the reference's C++ preprocessor (sw/data_formatter.h)
+— Python stays the API layer, the sequential hot loop runs native.  Compiled
+on demand with g++ into the package directory; if no toolchain is available
+every caller falls back to the identical pure-Python implementation.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "_scheduler.cpp")
+_SO = os.path.join(_HERE, "_scheduler.so")
+_lock = threading.Lock()
+_lib = None
+_failed = False
+
+
+def _load():
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(_SO)
+            lib.wp_schedule_segments.argtypes = [
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.wp_schedule_segments.restype = None
+            _lib = lib
+        except Exception:
+            _failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def schedule_segments(seg_bounds: np.ndarray, stripe: np.ndarray,
+                      lam: np.ndarray, bank: np.ndarray,
+                      addr: np.ndarray) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    n = stripe.size
+    k_of = np.empty(n, np.int64)
+    seg_bounds = np.ascontiguousarray(seg_bounds, np.int64)
+    args = [np.ascontiguousarray(a, np.int32)
+            for a in (stripe, lam, bank, addr)]
+    lib.wp_schedule_segments(
+        ctypes.c_int64(seg_bounds.size - 1),
+        seg_bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        args[0].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        args[1].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        args[2].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        args[3].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        k_of.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return k_of

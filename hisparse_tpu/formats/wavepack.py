@@ -69,8 +69,10 @@ class Wavepack:
     num_cols: int
     n_blocks: int
     n_parts: int
-    perm: np.ndarray           # (n_blocks*R*128,) renamed -> original row id
-                               #  (entries >= num_rows are padding rows)
+    perm: np.ndarray           # (n_blocks*R*128,) renamed -> original row id;
+                               #  several renamed rows may map to one original
+                               #  (hub splitting) and must be summed; entries
+                               #  == num_rows are padding rows
     vals: np.ndarray           # (T, S, 128) float32 / uint32(fixed)
     idxT: np.ndarray           # (T, S, 128) int32, transposed-layout fields
     tile_part: np.ndarray      # (T,) int32  column partition of each tile
@@ -93,22 +95,121 @@ class Wavepack:
     def stream_bytes(self) -> int:
         return self.vals.nbytes + self.idxT.nbytes
 
-    def inv_perm(self) -> np.ndarray:
-        inv = np.full(self.perm.shape[0], -1, np.int64)
-        inv[self.perm] = np.arange(self.perm.shape[0])
-        return inv[:self.num_rows]
+    def unpack_y(self, y_renamed: np.ndarray) -> np.ndarray:
+        """Fold a renamed-space result back to original row order, summing
+        virtual-row partials (the combine step of hub splitting)."""
+        out = np.zeros(self.num_rows, y_renamed.dtype)
+        valid = self.perm < self.num_rows
+        np.add.at(out, self.perm[valid], y_renamed[valid])
+        return out
+
+
+def _schedule_segments(seg_bounds: np.ndarray, stripe: np.ndarray,
+                       lam: np.ndarray, bank: np.ndarray,
+                       addr: np.ndarray) -> np.ndarray:
+    """Schedule every (block, part) segment; native C++ when available."""
+    from . import native
+    if native.available():
+        return native.schedule_segments(seg_bounds, stripe, lam, bank, addr)
+    k_of = np.empty(stripe.size, np.int64)
+    for i in range(seg_bounds.size - 1):
+        s, e = int(seg_bounds[i]), int(seg_bounds[i + 1])
+        k_of[s:e] = _schedule(stripe[s:e], lam[s:e], bank[s:e], addr[s:e])
+    return k_of
+
+
+def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
+              addr: np.ndarray) -> np.ndarray:
+    """Assign each nonzero a wave index k within its stripe.
+
+    Constraints per (stripe, k):
+      * each row lane holds at most one nonzero (dest slot), and
+      * each column bank serves at most one **distinct column** (gather
+        slot) — nonzeros sharing a column share one gather slot, because the
+        row-crossbar is a gather and duplicate pulls are free.  This is the
+        TPU upgrade over the reference's arbiter (shuffle.h:24-99), which
+        must serialize same-bank traffic even for one hot column; here a hub
+        column broadcasts to up to 128 rows per wave.
+
+    Greedy: per wave, visit pending columns by remaining-rows descending
+    (the offline analog of the rotating-priority arbiter) and place every
+    still-free row of that column.  Wave count per stripe approaches the
+    optimum max(max row nnz, max per-bank distinct-column load).
+
+    Pure-Python reference implementation; the C++ twin in formats/native.py
+    runs the identical algorithm at dataset scale.
+    """
+    k_of = np.empty(sigma.shape[0], np.int64)
+    order = np.lexsort((np.arange(sigma.size), addr, bank, sigma))
+    so = sigma[order]
+    starts = np.flatnonzero(np.r_[True, so[1:] != so[:-1]])
+    bounds = np.r_[starts, so.size]
+    for si in range(starts.size):
+        lo_i, hi_i = bounds[si], bounds[si + 1]
+        idxs = order[lo_i:hi_i]
+        # group this stripe's nonzeros by column (bank, addr)
+        items = {}
+        for nz in idxs:
+            key = (int(bank[nz]), int(addr[nz]))
+            items.setdefault(key, []).append(nz)
+        pending = [[len(v), key[0], v] for key, v in items.items()]
+        for ent in pending:
+            ent[2].reverse()   # pop() yields CSR order
+        k = 0
+        while pending:
+            pending.sort(key=lambda e: -e[0])
+            used_banks = bytearray(LANES)
+            used_rows = bytearray(LANES)
+            new_pending = []
+            for ent in pending:
+                cnt, bk_, q = ent
+                if used_banks[bk_]:
+                    new_pending.append(ent)
+                    continue
+                placed = 0
+                kept = []
+                while q:
+                    nz = q.pop()
+                    lm = int(lam[nz])
+                    if used_rows[lm]:
+                        kept.append(nz)
+                        continue
+                    used_rows[lm] = 1
+                    k_of[nz] = k
+                    placed += 1
+                kept.reverse()
+                q.extend(kept)
+                if placed:
+                    used_banks[bk_] = 1
+                if q:
+                    ent[0] = len(q)
+                    new_pending.append(ent)
+            pending = new_pending
+            k += 1
+    return k_of
 
 
 def pack(m: CSRMatrix, config: SpmvConfig | None = None,
-         row_order: np.ndarray | None = None) -> Wavepack:
+         row_order: np.ndarray | None = None,
+         split_max: int | None = None) -> Wavepack:
     """Pack a CSR matrix into wavepack streams (csr2cpsr analog,
     data_formatter.h:465-544).
+
+    split_max bounds per-row nonzeros by splitting hub rows into virtual
+    rows whose partial sums are recombined at unpack time (perm then maps
+    several renamed rows to the same original row).
 
     This is the numpy reference packer; `hisparse_tpu.formats.native` holds
     the C++ production packer with identical output (validated against this
     one in tests).
     """
     cfg = config or SpmvConfig()
+    orig_num_rows = m.num_rows
+    if split_max is not None:
+        from .csr import split_rows
+        m, row_map = split_rows(m, split_max)
+    else:
+        row_map = np.arange(m.num_rows, dtype=np.int64)
     S, R, B = cfg.sublanes, cfg.stripes, cfg.bank_blocks
     RPB = cfg.rows_per_block          # rows per block
     VB = cfg.vb_cols                  # cols per partition
@@ -129,113 +230,76 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     row_of_nz = np.repeat(np.arange(m.num_rows), np.diff(m.indptr))
     rho_all = rank[row_of_nz]                       # renamed row per nonzero
     col_all = m.indices.astype(np.int64)
-    part_all = col_all // VB
+    part_all = (col_all // VB).astype(np.int32)
     c_in = col_all % VB
     bank_all = (c_in % LANES).astype(np.int32)      # gather lane j
     a_all = (c_in // LANES).astype(np.int32)        # in-bank address
     blk_of_nz = (rho_all // RPB).astype(np.int32)   # row block
-
-    tiles_v, tiles_i = [], []
-    t_part, t_block = [], []
+    rho_loc = rho_all % RPB
+    lam_all = (rho_loc % LANES).astype(np.int32)
+    sigma_all = (rho_loc // LANES).astype(np.int32)
     val_dtype = m.data.dtype if cfg.dtype == "fixed" else np.float32
     G = cfg.groups
 
-    for bk in range(n_blocks):
-        for p in range(n_parts):
-            sel = np.nonzero((blk_of_nz == bk) & (part_all == p))[0]
-            if sel.size == 0:
-                continue
-            rho = (rho_all[sel] % RPB).astype(np.int64)
-            lam = (rho % LANES).astype(np.int64)
-            sigma = (rho // LANES).astype(np.int64)
-            j = bank_all[sel]
-            a = a_all[sel]
-            vals_nz = m.data[sel].astype(val_dtype)
+    if nnz_total == 0:
+        vals = np.zeros((1, S, LANES), val_dtype)
+        idxT = np.zeros((1, S, LANES), np.int32)
+        t_block_arr = np.zeros(1, np.int32)
+        t_part_arr = np.zeros(1, np.int32)
+        first = np.ones(1, np.int32)
+        last = np.ones(1, np.int32)
+    else:
+        # one global sort: (block, part, stripe, bank, addr, csr position)
+        order = np.lexsort((np.arange(nnz_total), a_all, bank_all,
+                            sigma_all, part_all, blk_of_nz))
+        bo, po = blk_of_nz[order], part_all[order]
+        so, lo = sigma_all[order], lam_all[order]
+        jo, ao = bank_all[order], a_all[order]
+        seg_key = bo.astype(np.int64) * n_parts + po
+        seg_starts = np.flatnonzero(np.r_[True, seg_key[1:] != seg_key[:-1]])
+        seg_bounds = np.r_[seg_starts, nnz_total]
 
-            # process rows heavy-first for first-fit quality
-            order = np.lexsort((np.arange(sel.size),))  # stable original order
-            # per-row counts to sort rows by in-part nnz desc
-            counts = np.bincount(rho, minlength=RPB)
-            row_heavy_rank = np.argsort(-counts, kind="stable")
-            row_pos = np.empty(RPB, np.int64)
-            row_pos[row_heavy_rank] = np.arange(RPB)
-            order = np.lexsort((order, row_pos[rho]))
+        k_of = _schedule_segments(seg_bounds, so, lo, jo, ao)
 
-            K_CHUNK = 64
-            dest_occ = np.zeros((K_CHUNK, R, LANES), bool)
-            src_occ = np.zeros((K_CHUNK, R, LANES), bool)
-            k_of = np.empty(sel.size, np.int64)
-            row_k = {}
-            K_cap = K_CHUNK
-            max_k = -1
-            for idx in order:
-                sg, lm, jj = int(sigma[idx]), int(lam[idx]), int(j[idx])
-                k = row_k.get((sg, lm), 0)
-                while True:
-                    if k >= K_cap:
-                        grow = np.zeros((K_cap, R, LANES), bool)
-                        dest_occ = np.concatenate([dest_occ, grow])
-                        src_occ = np.concatenate([src_occ, grow.copy()])
-                        K_cap *= 2
-                    if not dest_occ[k, sg, lm] and not src_occ[k, sg, jj]:
-                        break
-                    k += 1
-                dest_occ[k, sg, lm] = True
-                src_occ[k, sg, jj] = True
-                row_k[(sg, lm)] = k + 1
-                k_of[idx] = k
-                if k > max_k:
-                    max_k = k
+        # per-segment tile counts and global tile offsets
+        w = so.astype(np.int64) + k_of * R
+        n_segs = seg_starts.size
+        seg_tiles = np.empty(n_segs, np.int64)
+        for i in range(n_segs):
+            wmax = int(w[seg_bounds[i]:seg_bounds[i + 1]].max())
+            seg_tiles[i] = wmax // S + 1
+        tile_off = np.r_[0, np.cumsum(seg_tiles)]
+        T_total = int(tile_off[-1])
+        seg_of_nz = np.repeat(np.arange(n_segs), np.diff(seg_bounds))
+        t_glob = tile_off[seg_of_nz] + w // S
+        s_loc = (w % S).astype(np.int64)
 
-            # wave index w = sigma + k*R ; tiles of S waves
-            w = sigma + k_of * R
-            W = int(w.max()) + 1
-            T_bp = -(-W // S)
-            t_loc = (w // S).astype(np.int64)
-            s_loc = (w % S).astype(np.int64)
+        va = np.zeros((T_total, S, LANES), val_dtype)
+        packed = np.zeros((T_total, S, LANES), np.int32)
+        vals_sorted = m.data[order].astype(val_dtype)
+        # gather-role fields at (t, s, bank); dest-role at (t, s, row lane)
+        packed[t_glob, s_loc, jo] |= (ao // 128 << 7) | (ao % 128)
+        packed[t_glob, s_loc, lo] |= jo << 10
+        va[t_glob, s_loc, lo] = vals_sorted
+        idxT = (packed.reshape(T_total, G, 128, 128)
+                .swapaxes(2, 3).reshape(T_total, S, LANES).copy())
+        vals = va
 
-            va = np.zeros((T_bp, S, LANES), val_dtype)
-            ha = np.zeros((T_bp, S, LANES), np.int32)
-            ba = np.zeros((T_bp, S, LANES), np.int32)
-            sa = np.zeros((T_bp, S, LANES), np.int32)
-            # gather-role fields at (t, s, bank)
-            ha[t_loc, s_loc, j] = a % 128
-            ba[t_loc, s_loc, j] = a // 128
-            # dest-role fields at (t, s, row lane)
-            va[t_loc, s_loc, lam] = vals_nz
-            sa[t_loc, s_loc, lam] = j
+        t_block_arr = np.repeat(bo[seg_starts], seg_tiles).astype(np.int32)
+        t_part_arr = np.repeat(po[seg_starts], seg_tiles).astype(np.int32)
+        first = np.zeros(T_total, np.int32)
+        last = np.zeros(T_total, np.int32)
+        chg = np.r_[True, t_block_arr[1:] != t_block_arr[:-1]]
+        first[chg] = 1
+        last[np.r_[chg[1:], True]] = 1
 
-            packed = (sa << 10) | (ba << 7) | ha
-            idxT = (packed.reshape(T_bp, G, 128, 128)
-                    .swapaxes(2, 3).reshape(T_bp, S, LANES))
-            tiles_v.append(va)
-            tiles_i.append(idxT.astype(np.int32))
-            t_part.extend([p] * T_bp)
-            t_block.extend([bk] * T_bp)
-
-    if not tiles_v:  # fully-empty matrix: one all-padding tile
-        tiles_v = [np.zeros((1, S, LANES), val_dtype)]
-        tiles_i = [np.zeros((1, S, LANES), np.int32)]
-        t_part, t_block = [0], [0]
-
-    vals = np.concatenate(tiles_v)
-    idxT = np.concatenate(tiles_i)
-    t_block_arr = np.asarray(t_block, np.int32)
-    t_part_arr = np.asarray(t_part, np.int32)
-    first = np.zeros(len(t_block), np.int32)
-    last = np.zeros(len(t_block), np.int32)
-    prev = None
-    for i, bkk in enumerate(t_block):
-        if bkk != prev:
-            first[i] = 1
-            if i:
-                last[i - 1] = 1
-            prev = bkk
-    last[-1] = 1
-
-    return Wavepack(cfg, m.num_rows, m.num_cols, n_blocks, n_parts, perm,
-                    vals, idxT, t_part_arr, t_block_arr, first, last,
-                    nnz=nnz_total)
+    # map renamed -> original rows (virtual rows of a split hub all map to
+    # the same original row; padding rows map to the sentinel orig_num_rows)
+    perm_orig = np.where(perm < m.num_rows, row_map[np.minimum(perm, m.num_rows - 1)],
+                         orig_num_rows)
+    return Wavepack(cfg, orig_num_rows, m.num_cols, n_blocks, n_parts,
+                    perm_orig, vals, idxT, t_part_arr, t_block_arr, first,
+                    last, nnz=nnz_total)
 
 
 def decode(wp: Wavepack) -> CSRMatrix:

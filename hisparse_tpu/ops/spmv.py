@@ -77,11 +77,13 @@ def _spmv_kernel(part_ref, block_ref, first_ref, last_ref,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_parts",
                                              "interpret"))
-def _spmv_call(vals, idxT, part, block, first, last, x_padded, *,
+def _spmv_call(vals, idxT, part, block, first, last, x, *,
                cfg: SpmvConfig, n_blocks: int, n_parts: int,
                interpret: bool = False):
     S, B = cfg.sublanes, cfg.bank_blocks
     T = vals.shape[0]
+    x_padded = jnp.pad(x.astype(vals.dtype),
+                       (0, n_parts * cfg.vb_cols - x.shape[0]))
     # vector-loader analog: pre-transpose x into per-partition bank blocks
     # XT[p, b, l, h] = x[p*VB + (b*128 + h)*128 + l]
     XT = x_padded.reshape(n_parts, B, 128, LANES).transpose(0, 1, 3, 2)
@@ -134,26 +136,16 @@ class SpmvOperator:
         self.block = jnp.asarray(wp.tile_block)
         self.first = jnp.asarray(wp.tile_first)
         self.last = jnp.asarray(wp.tile_last)
-        self._x_len = wp.n_parts * wp.config.vb_cols
-
-    def x_pad(self, x) -> jax.Array:
-        x = jnp.asarray(x, self.vals.dtype)
-        return jnp.pad(x, (0, self._x_len - x.shape[0]))
-
     def __call__(self, x, renamed: bool = False):
         y_blocks = _spmv_call(
             self.vals, self.idxT, self.part, self.block, self.first,
-            self.last, self.x_pad(x),
+            self.last, jnp.asarray(x),
             cfg=self.cfg, n_blocks=self.wp.n_blocks,
             n_parts=self.wp.n_parts, interpret=self.interpret)
         y_renamed = y_blocks.reshape(-1)
         if renamed:
             return y_renamed
-        out = np.zeros(self.wp.num_rows, np.asarray(y_renamed).dtype)
-        yr = np.asarray(y_renamed)
-        valid = self.wp.perm < self.wp.num_rows
-        out[self.wp.perm[valid]] = yr[valid]
-        return out
+        return self.wp.unpack_y(np.asarray(y_renamed))
 
 
 def spmv(wp: Wavepack, x, interpret: bool = False):

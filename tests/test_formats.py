@@ -10,10 +10,12 @@ from hisparse_tpu.formats.csr import argsort_rows_by_nnz, permute_rows, csr_to_c
 
 
 def assert_same_matrix(a: CSRMatrix, b: CSRMatrix):
+    # duplicate (row,col) entries are summed on both sides; float summation
+    # order may differ, so compare with a tiny relative tolerance
     A = a.to_scipy(); B = b.to_scipy()
-    assert A.shape[0] <= B.shape[0] or A.shape == B.shape
-    d = (A - B[:A.shape[0], :A.shape[1]]).toarray()
-    assert np.abs(d).max() == 0.0
+    d = np.abs((A - B[:A.shape[0], :A.shape[1]]).toarray()).max()
+    scale = max(np.abs(A.toarray()).max(), 1.0)
+    assert d <= 1e-6 * scale, d
 
 
 CONFIGS = [
@@ -95,7 +97,9 @@ def test_csr_to_csc():
 
 
 def test_schedule_constraints():
-    """Every wave obeys the three scheduling invariants."""
+    """Every wave obeys the scheduling invariants: each gather slot (src
+    lane) serves exactly one column; dest slots sharing a src lane share
+    that column (broadcast)."""
     cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=32)
     m = powerlaw_csr(400, 2000, 8, seed=11)
     wp = pack(m, cfg)
@@ -104,9 +108,73 @@ def test_schedule_constraints():
         packed = (wp.idxT[t].reshape(G, 128, 128).swapaxes(1, 2)
                   .reshape(cfg.sublanes, 128))
         src = packed >> 10
+        bh = packed & 0x3FF
         v = wp.vals[t]
         for s in range(cfg.sublanes):
             lanes = np.nonzero(v[s] != 0)[0]
+            if lanes.size == 0:
+                continue
             srcs = src[s, lanes]
-            # distinct gather lanes per wave (constraint 1)
-            assert len(np.unique(srcs)) == len(srcs)
+            # all dest slots pulling from the same gather lane read the same
+            # (b,h) there, i.e. one column per gather slot per wave
+            cols = bh[s, srcs] * 128 + srcs
+            pairs = set(zip(srcs.tolist(), cols.tolist()))
+            assert len(pairs) == len(np.unique(srcs))
+
+
+def test_native_matches_python_scheduler():
+    from hisparse_tpu.formats import native, wavepack
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    n = 5000
+    stripe = np.sort(rng.integers(0, 4, n)).astype(np.int32)
+    lam = rng.integers(0, 128, n).astype(np.int32)
+    bank = rng.integers(0, 128, n).astype(np.int32)
+    addr = rng.integers(0, 128, n).astype(np.int32)
+    order = np.lexsort((np.arange(n), addr, bank, stripe))
+    stripe, lam, bank, addr = (stripe[order], lam[order], bank[order],
+                               addr[order])
+    seg_bounds = np.array([0, n // 2, n], np.int64)
+    kn = native.schedule_segments(seg_bounds, stripe, lam, bank, addr)
+    kp = np.empty(n, np.int64)
+    for i in range(2):
+        s, e = int(seg_bounds[i]), int(seg_bounds[i + 1])
+        kp[s:e] = wavepack._schedule(stripe[s:e], lam[s:e], bank[s:e],
+                                     addr[s:e])
+    assert np.array_equal(kn, kp)
+
+
+def test_hub_split_roundtrip():
+    from hisparse_tpu.formats.csr import split_rows
+    m = powerlaw_csr(500, 800, 12, alpha=1.1, seed=9)
+    m2, row_map = split_rows(m, 16)
+    assert m2.row_nnz().max() <= 16
+    assert m2.nnz == m.nnz
+    # virtual rows reassemble
+    import scipy.sparse as sp
+    S = sp.csr_matrix((np.ones(m2.num_rows), (row_map, np.arange(m2.num_rows))),
+                      shape=(m.num_rows, m2.num_rows))
+    back = S @ m2.to_scipy()
+    assert np.abs((back - m.to_scipy()).toarray()).max() <= 1e-6
+
+
+def test_pack_with_split_decode():
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128)
+    m = powerlaw_csr(600, 900, 10, alpha=1.1, seed=10)
+    wp = pack(m, cfg, split_max=32)
+    assert_same_matrix(m, decode(wp))
+
+
+def test_column_hub_dedupe():
+    """A single hot column must not serialize waves (gather-slot sharing)."""
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128)
+    rows = 1000
+    # every row has the same single column 7
+    m = CSRMatrix(rows, 128, np.ones(rows, np.float32),
+                  np.full(rows, 7, np.int32),
+                  np.arange(rows + 1, dtype=np.int64))
+    wp = pack(m, cfg)
+    assert wp.num_tiles == 1  # broadcast handled in one wave per stripe
+    assert_same_matrix(m, decode(wp))
