@@ -1,11 +1,11 @@
-"""The SpMV Pallas kernel — the analog of the reference's device dataflow.
+"""The SpMV Pallas kernels — the analog of the reference's device dataflow.
 
 One grid step consumes one wavepack tile and performs, in order, the roles
 of the reference's five pipeline stages (SURVEY.md section 3.3):
 
   stage                         reference                      here
   ----------------------------- ------------------------------ ----------------
-  vector load / broadcast       spmv_vector_loader.cpp:7-121   XT tile revisit
+  vector load / broadcast       spmv_vector_loader.cpp:7-121   resident XT tile
   matrix stream                 spmv_cluster.h:34-107          vals/idxT DMA
   col shuffle + vecbuf gather   shuffle.h:24-99 + vau:18-84    lane-gather from
                                                                transposed x-bank
@@ -15,11 +15,25 @@ of the reference's five pipeline stages (SURVEY.md section 3.3):
                                                                pack-time src map
   PE accumulate                 pe.h:22-90                     acc += vals*routed
   PE output / result drain      pe.h:95-116, result_drain      stripe-reduce
-                                                               flush on block end
+                                                               (outside kernel)
 
 All conflict arbitration happened at pack time (formats/wavepack.py), so the
 kernel is branch-free at line rate: two dynamic lane-gathers, one transpose,
 B-1 selects per 128-row group, one FMA, one accumulate.
+
+Two execution variants, chosen automatically by VMEM footprint:
+
+  * resident — the whole banked vector buffer (all column partitions) and
+    the whole y accumulator live in VMEM; tile metadata (partition/block
+    ids) are SMEM arrays indexed per grid step.  This is the fast path: the
+    TPU's VMEM (~16 MB) plays the role of the U280's URAM (45 MB in 512
+    banks) but holds x AND y entirely for every matrix of the FPGA'22 suite
+    up to ~1M rows+cols — no vector reloads at all (the reference re-streams
+    x per row partition, spmv_vector_loader.cpp:22-68; its TV cost term
+    disappears here).
+  * paged — x partitions and y blocks are paged by the Pallas pipeline via
+    scalar-prefetched indices (PrefetchScalarGridSpec).  Handles matrices of
+    any size at ~half the slot rate.
 """
 from __future__ import annotations
 
@@ -34,53 +48,77 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import LANES, SpmvConfig
 from ..formats.wavepack import Wavepack
 
+# conservative usable-VMEM budget for the resident variant (bytes)
+_RESIDENT_VMEM_BUDGET = 10 * 1024 * 1024
 
-def _spmv_kernel(part_ref, block_ref, first_ref, last_ref,
-                 vals_ref, idxT_ref, xt_ref, out_ref, acc_ref,
-                 *, cfg: SpmvConfig):
-    S, R, B, G = cfg.sublanes, cfg.stripes, cfg.bank_blocks, cfg.groups
-    t = pl.program_id(0)
 
-    @pl.when(first_ref[t] == 1)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    idx = idxT_ref[0]
+def _tile_body(vals, idx, xt, cfg: SpmvConfig):
+    """Shared per-tile pipeline: decode -> banked gather -> row crossbar ->
+    multiply.  ``xt`` is (B, 128, 128) transposed x-bank blocks; returns the
+    (S, 128) contribution in dest-slot layout."""
+    B, G = cfg.bank_blocks, cfg.groups
     hT = idx & 0x7F
     bT = (idx >> 7) & 0x7
-    srcT = idx >> 10
-
-    gx_groups = []
-    src_groups = []
+    srcT = (idx >> 10) & 0x7F
+    gx_groups, src_groups = [], []
     for g in range(G):
         sl = slice(g * 128, (g + 1) * 128)
         hg = hT[sl]
-        e = jnp.take_along_axis(xt_ref[0, 0], hg, axis=1)
+        e = jnp.take_along_axis(xt[0], hg, axis=1)
         for b in range(1, B):
-            eb = jnp.take_along_axis(xt_ref[0, b], hg, axis=1)
+            eb = jnp.take_along_axis(xt[b], hg, axis=1)
             e = jnp.where(bT[sl] == b, eb, e)
         gx_groups.append(e.T)
         src_groups.append(srcT[sl].T)
     gx = jnp.concatenate(gx_groups, axis=0) if G > 1 else gx_groups[0]
     src = jnp.concatenate(src_groups, axis=0) if G > 1 else src_groups[0]
-
     routed = jnp.take_along_axis(gx, src, axis=1)
-    acc_ref[:] = acc_ref[:] + vals_ref[0] * routed
+    return vals * routed
 
-    @pl.when(last_ref[t] == 1)
+
+def _resident_kernel(part_ref, block_ref, vals_ref, idxT_ref, xt_ref,
+                     out_ref, *, cfg: SpmvConfig):
+    S = cfg.sublanes
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
     def _():
-        if R == S:
-            out_ref[0] = acc_ref[:]
-        else:
-            out_ref[0] = acc_ref[:].reshape(S // R, R, LANES).sum(axis=0)
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    pid = part_ref[t]
+    bid = block_ref[t]
+    xt = xt_ref[pid]
+    contrib = _tile_body(vals_ref[0], idxT_ref[0], xt, cfg)
+    off = pl.multiple_of(bid * S, S)
+    out_ref[pl.ds(off, S), :] = out_ref[pl.ds(off, S), :] + contrib
+
+
+def _paged_kernel(part_ref, block_ref, first_ref, vals_ref, idxT_ref, xt_ref,
+                  out_ref, *, cfg: SpmvConfig):
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    contrib = _tile_body(vals_ref[0], idxT_ref[0], xt_ref[0], cfg)
+    out_ref[0] = out_ref[0] + contrib
+
+
+def resident_bytes(cfg: SpmvConfig, n_blocks: int, n_parts: int) -> int:
+    """VMEM footprint of the resident variant (XT + y + stream buffers)."""
+    xt = n_parts * cfg.bank_blocks * 128 * 128 * 4
+    y = n_blocks * cfg.sublanes * LANES * 4
+    streams = 4 * cfg.sublanes * LANES * 4 * 2   # vals+idx, double-buffered
+    return xt + y + streams
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_parts",
-                                             "interpret"))
+                                             "interpret", "variant"))
 def _spmv_call(vals, idxT, part, block, first, last, x, *,
                cfg: SpmvConfig, n_blocks: int, n_parts: int,
-               interpret: bool = False):
-    S, B = cfg.sublanes, cfg.bank_blocks
+               interpret: bool = False, variant: str = "auto"):
+    S, B, R = cfg.sublanes, cfg.bank_blocks, cfg.stripes
     T = vals.shape[0]
     x_padded = jnp.pad(x.astype(vals.dtype),
                        (0, n_parts * cfg.vb_cols - x.shape[0]))
@@ -88,32 +126,61 @@ def _spmv_call(vals, idxT, part, block, first, last, x, *,
     # XT[p, b, l, h] = x[p*VB + (b*128 + h)*128 + l]
     XT = x_padded.reshape(n_parts, B, 128, LANES).transpose(0, 1, 3, 2)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, S, LANES), lambda t, pr, br, fr, lr: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, LANES), lambda t, pr, br, fr, lr: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 128, 128),
-                         lambda t, pr, br, fr, lr: (pr[t], 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, cfg.stripes, LANES),
-                               lambda t, pr, br, fr, lr: (br[t], 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((S, LANES), vals.dtype)],
-    )
-    return pl.pallas_call(
-        functools.partial(_spmv_kernel, cfg=cfg),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_blocks, cfg.stripes, LANES),
-                                       vals.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(part, block, first, last, vals, idxT, XT)
+    if variant == "auto":
+        variant = ("resident"
+                   if resident_bytes(cfg, n_blocks, n_parts)
+                   <= _RESIDENT_VMEM_BUDGET else "paged")
+
+    if variant == "resident":
+        out = pl.pallas_call(
+            functools.partial(_resident_kernel, cfg=cfg),
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, S, LANES), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S, LANES), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n_blocks * S, LANES), lambda t: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks * S, LANES), vals.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(part, block, vals, idxT, XT)
+        y_blocks = out.reshape(n_blocks, S // R, R, LANES).sum(axis=1)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, S, LANES),
+                             lambda t, pr, br, fr: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S, LANES),
+                             lambda t, pr, br, fr: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, 128, 128),
+                             lambda t, pr, br, fr: (pr[t], 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, S, LANES),
+                                   lambda t, pr, br, fr: (br[t], 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            functools.partial(_paged_kernel, cfg=cfg),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_blocks, S, LANES), vals.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(part, block, first, vals, idxT, XT)
+        y_blocks = out.reshape(n_blocks, S // R, R, LANES).sum(axis=1)
+    return y_blocks
 
 
 class SpmvOperator:
@@ -126,28 +193,32 @@ class SpmvOperator:
     row permutation is undone on the host.
     """
 
-    def __init__(self, wp: Wavepack, interpret: bool = False):
+    def __init__(self, wp: Wavepack, interpret: bool = False,
+                 variant: str = "auto"):
         self.wp = wp
         self.cfg = wp.config
         self.interpret = interpret
+        self.variant = variant
         self.vals = jnp.asarray(wp.vals)
         self.idxT = jnp.asarray(wp.idxT)
         self.part = jnp.asarray(wp.tile_part)
         self.block = jnp.asarray(wp.tile_block)
         self.first = jnp.asarray(wp.tile_first)
         self.last = jnp.asarray(wp.tile_last)
+
     def __call__(self, x, renamed: bool = False):
         y_blocks = _spmv_call(
             self.vals, self.idxT, self.part, self.block, self.first,
             self.last, jnp.asarray(x),
             cfg=self.cfg, n_blocks=self.wp.n_blocks,
-            n_parts=self.wp.n_parts, interpret=self.interpret)
+            n_parts=self.wp.n_parts, interpret=self.interpret,
+            variant=self.variant)
         y_renamed = y_blocks.reshape(-1)
         if renamed:
             return y_renamed
         return self.wp.unpack_y(np.asarray(y_renamed))
 
 
-def spmv(wp: Wavepack, x, interpret: bool = False):
+def spmv(wp: Wavepack, x, interpret: bool = False, variant: str = "auto"):
     """One-shot SpMV y = A @ x from a packed matrix."""
-    return SpmvOperator(wp, interpret=interpret)(x)
+    return SpmvOperator(wp, interpret=interpret, variant=variant)(x)

@@ -62,3 +62,26 @@ def test_zero_matrix():
     m = CSRMatrix(50, 60, np.zeros(0, np.float32), np.zeros(0, np.int32),
                   np.zeros(51, np.int64))
     check(m)
+
+
+def test_paged_variant_matches():
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128)
+    m = powerlaw_csr(cfg.rows_per_block + 50, cfg.vb_cols + 200, 5, seed=7)
+    rng = np.random.default_rng(7)
+    x = rng.random(m.num_cols).astype(np.float32)
+    wp = pack(m, cfg)
+    y = spmv(wp, x, interpret=True, variant="paged")
+    ref = spmv_f64(m, x)
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(y, ref, atol=1e-4 * scale, rtol=1e-4)
+
+
+def test_split_hub_end_to_end():
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=64)
+    m = powerlaw_csr(500, 700, 10, alpha=1.1, seed=8)
+    rng = np.random.default_rng(8)
+    x = rng.random(m.num_cols).astype(np.float32)
+    y = spmv(pack(m, cfg, split_max=16), x, interpret=True)
+    ref = spmv_f64(m, x)
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(y, ref, atol=1e-4 * scale, rtol=1e-4)
