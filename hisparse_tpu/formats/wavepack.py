@@ -80,6 +80,7 @@ class Wavepack:
     tile_first: np.ndarray     # (T,) int32  1 on the first tile of a block
     tile_last: np.ndarray      # (T,) int32  1 on the last tile of a block
     nnz: int
+    col_order: np.ndarray | None = None   # new col i = original col_order[i]
 
     @property
     def num_tiles(self) -> int:
@@ -191,13 +192,20 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
 
 def pack(m: CSRMatrix, config: SpmvConfig | None = None,
          row_order: np.ndarray | None = None,
-         split_max: int | None = None) -> Wavepack:
+         split_max: int | None = None,
+         col_order: np.ndarray | None = None) -> Wavepack:
     """Pack a CSR matrix into wavepack streams (csr2cpsr analog,
     data_formatter.h:465-544).
 
     split_max bounds per-row nonzeros by splitting hub rows into virtual
     rows whose partial sums are recombined at unpack time (perm then maps
     several renamed rows to the same original row).
+
+    col_order optionally permutes columns at pack time (new col i reads
+    original column col_order[i]); callers must then feed x permuted the
+    same way.  With row_order == col_order on a square matrix this packs
+    P A P^T, letting iterative algorithms (PageRank) chain y -> x entirely
+    in the renamed device space — the graph-reordering trick.
 
     This is the numpy reference packer; `hisparse_tpu.formats.native` holds
     the C++ production packer with identical output (validated against this
@@ -229,7 +237,12 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     nnz_total = m.nnz
     row_of_nz = np.repeat(np.arange(m.num_rows), np.diff(m.indptr))
     rho_all = rank[row_of_nz]                       # renamed row per nonzero
-    col_all = m.indices.astype(np.int64)
+    if col_order is not None:
+        col_rank = np.empty(m.num_cols, np.int64)
+        col_rank[col_order] = np.arange(m.num_cols)
+        col_all = col_rank[m.indices]
+    else:
+        col_all = m.indices.astype(np.int64)
     part_all = (col_all // VB).astype(np.int32)
     c_in = col_all % VB
     bank_all = (c_in % LANES).astype(np.int32)      # gather lane j
@@ -299,7 +312,7 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
                          orig_num_rows)
     return Wavepack(cfg, orig_num_rows, m.num_cols, n_blocks, n_parts,
                     perm_orig, vals, idxT, t_part_arr, t_block_arr, first,
-                    last, nnz=nnz_total)
+                    last, nnz=nnz_total, col_order=col_order)
 
 
 def decode(wp: Wavepack) -> CSRMatrix:
@@ -327,6 +340,8 @@ def decode(wp: Wavepack) -> CSRMatrix:
         jj = src[s_idx, lam_idx]
         a = b[s_idx, jj] * 128 + h[s_idx, jj]
         col = p * VB + a * LANES + jj
+        if wp.col_order is not None:
+            col = np.where(col < wp.num_cols, wp.col_order[np.minimum(col, wp.num_cols - 1)], col)
         sigma = s_idx % R
         rho = bk * RPB + sigma * LANES + lam_idx
         rows.append(wp.perm[rho])

@@ -1,0 +1,96 @@
+"""Graph apps on top of SpMV — the GraphLily-lineage application layer.
+
+The reference's unit_tests/test_app.cpp (vestigial gtest from GraphLily)
+documents BFS / PageRank / SSSP apps built on the SpMV/SpMSpV overlay; the
+shipped host normalizes matrices PageRank-style (sw/data_formatter.h:32-47,
+sw/host.cpp:480).  PageRank is the flagship here: it exercises repeated
+y = A @ x on the device with the iteration chained entirely in the renamed
+(packed) space via the P A P^T column-permuted pack.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SpmvConfig
+from ..formats.csr import CSRMatrix, argsort_rows_by_nnz, normalize_by_outdegree
+from ..formats.wavepack import pack
+from ..ops.spmv import SpmvOperator, _spmv_call
+
+
+class PageRank:
+    """Power-iteration PageRank on a square adjacency matrix.
+
+    The matrix is column-normalized (1/outdegree, data_formatter.h:32-47)
+    and packed as P A P^T with matched row/column renaming so each iteration
+    feeds y straight back as x on device — no per-iteration permutation or
+    host round trip.
+    """
+
+    def __init__(self, adj: CSRMatrix, config: SpmvConfig | None = None,
+                 damping: float = 0.85, interpret: bool = False):
+        if adj.num_rows != adj.num_cols:
+            raise ValueError("PageRank needs a square adjacency matrix")
+        self.n = adj.num_rows
+        self.damping = damping
+        m = normalize_by_outdegree(adj.astype(np.float32))
+        order = argsort_rows_by_nnz(m, descending=True)
+        # hub splitting is incompatible with renamed-space chaining (the
+        # virtual partials would feed back unsummed), so split_max=None
+        self.wp = pack(m, config, row_order=order, col_order=order)
+        self.op = SpmvOperator(self.wp, interpret=interpret)
+        # renamed slot of each original row (first/only occurrence)
+        perm = self.wp.perm
+        self.n_slots = perm.shape[0]
+        inv = np.full(self.n, -1, np.int64)
+        seen = perm < self.n
+        inv[perm[seen]] = np.arange(perm.shape[0])[seen]
+        self.inv = inv
+        self.valid = jnp.asarray((perm < self.n).astype(np.float32))
+
+    def _step(self, x_renamed):
+        y = self.op(x_renamed, renamed=True)
+        return (self.damping * y
+                + (1.0 - self.damping) / self.n * self.valid)
+
+    def run(self, iters: int = 20, x0: np.ndarray | None = None) -> np.ndarray:
+        """Run power iterations; returns the PageRank vector in original
+        row order."""
+        if x0 is None:
+            xr = np.zeros(self.n_slots, np.float32)
+            xr[self.inv] = 1.0 / self.n
+        else:
+            xr = np.zeros(self.n_slots, np.float32)
+            xr[self.inv] = x0
+        x = jnp.asarray(xr)
+        step = jax.jit(lambda x: self._step(x)) if not self.op.interpret \
+            else self._step
+        for _ in range(iters):
+            x = step(x)
+        return np.asarray(x)[self.inv]
+
+    def step_fn(self):
+        """A jittable (x_renamed -> x_renamed) step for benchmarking and
+        multi-chip dry runs."""
+        return self._step
+
+
+def pagerank(adj: CSRMatrix, iters: int = 20,
+             config: SpmvConfig | None = None, damping: float = 0.85,
+             interpret: bool = False) -> np.ndarray:
+    return PageRank(adj, config, damping, interpret=interpret).run(iters)
+
+
+def pagerank_reference(adj: CSRMatrix, iters: int = 20,
+                       damping: float = 0.85) -> np.ndarray:
+    """Numpy golden PageRank (the CPU-model analog)."""
+    m = normalize_by_outdegree(adj.astype(np.float64))
+    sp = m.to_scipy()
+    n = adj.num_rows
+    x = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        x = damping * (sp @ x) + (1 - damping) / n
+    return x

@@ -120,6 +120,9 @@ def _spmv_call(vals, idxT, part, block, first, last, x, *,
                interpret: bool = False, variant: str = "auto"):
     S, B, R = cfg.sublanes, cfg.bank_blocks, cfg.stripes
     T = vals.shape[0]
+    # compiled Pallas needs a TPU; on CPU backends fall back to the
+    # interpreter (the csim analog) automatically
+    interpret = interpret or jax.default_backend() == "cpu"
     x_padded = jnp.pad(x.astype(vals.dtype),
                        (0, n_parts * cfg.vb_cols - x.shape[0]))
     # vector-loader analog: pre-transpose x into per-partition bank blocks

@@ -1,0 +1,112 @@
+"""Benchmark utilities — the analog of the reference's benchmark host
+(sw/benchmark.cpp:29,311-346: NUM_RUNS=50 timed repetitions of the device
+loop, GBPS = nnz*8/t, GOPS = 2*nnz/t).
+
+Timing methodology: the host->device tunnel in some environments adds tens
+of milliseconds of noisy per-round-trip latency, so wall-clocking single
+dispatches is useless for sub-millisecond kernels.  Instead the repetition
+loop runs ON DEVICE inside one jitted ``lax.fori_loop`` (the input vector is
+perturbed per iteration so XLA cannot hoist the loop body), and the
+per-iteration time is the slope between two repetition counts — immune to
+both dispatch latency and compile time.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# v5e HBM bandwidth; used only for roofline reporting.
+HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v6 lite": 1640.0}
+
+
+def device_hbm_gbps() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in HBM_GBPS.items():
+        if kind.startswith(k):
+            return v
+    return 819.0
+
+
+def _sync(v) -> None:
+    np.asarray(jnp.sum(v))
+
+
+def device_loop_time(fn: Callable, x: jax.Array,
+                     target_spread_s: float = 0.5) -> float:
+    """Marginal per-iteration device time of ``fn(x) -> array``.
+
+    Builds ``lax.fori_loop(0, reps, ...)`` around fn with a per-iteration
+    input perturbation, then returns the slope (T(r2)-T(r1))/(r2-r1) with
+    rep counts auto-calibrated so the spread dwarfs round-trip latency
+    noise (which can be tens of ms through a tunneled device).
+    """
+    def make(reps: int):
+        @jax.jit
+        def run(x, reps_arr):
+            def body(i, carry):
+                acc, xx = carry
+                y = fn(xx)
+                return acc + y.reshape(-1)[0], xx + 1e-12 * i
+            acc, _ = jax.lax.fori_loop(0, reps_arr, body,
+                                       (jnp.float32(0), x))
+            return acc
+        return lambda xx: run(xx, reps)
+
+    def timed(f):
+        t0 = time.perf_counter(); _sync(f(x)); return time.perf_counter() - t0
+
+    # calibration: estimate per-iteration cost with a modest loop
+    f_cal = make(32)
+    timed(f_cal)                       # compile + warm
+    est = max((min(timed(f_cal), timed(f_cal)) - 0.03) / 32, 1e-7)
+    r1 = 16
+    r2 = r1 + max(64, min(int(target_spread_s / est), 20000))
+    f1, f2 = make(r1), make(r2)
+    timed(f1); timed(f2)               # compile
+    best = np.inf
+    for _ in range(2):
+        ta = timed(f1)
+        tb = timed(f2)
+        best = min(best, (tb - ta) / (r2 - r1))
+    return max(best, 1e-9)
+
+
+@dataclasses.dataclass
+class SpmvMetrics:
+    """The reference's benchmark_result struct (sw/benchmark.cpp:73-87)."""
+    name: str
+    preproc_s: float
+    spmv_ms: float
+    gbps: float          # nnz * 8 bytes / t   (benchmark.cpp:313)
+    gops: float          # 2 * nnz / t         (benchmark.cpp:314)
+    stream_gbps: float   # actual packed bytes / t
+    fill: float
+    roofline_frac: float
+
+    def row(self) -> str:
+        return (f"{self.name:28s} preproc {self.preproc_s:7.2f} s | "
+                f"SpMV {self.spmv_ms:8.4f} ms | {self.gbps:7.1f} GBPS | "
+                f"{self.gops:7.1f} GOPS | stream {self.stream_gbps:6.1f} GB/s "
+                f"({100*self.roofline_frac:4.1f}% roofline) | "
+                f"fill {self.fill:.2f}")
+
+
+def measure_spmv(name: str, op, x, nnz: int, stream_bytes: int,
+                 preproc_s: float = 0.0, fill: float = 0.0) -> SpmvMetrics:
+    fn = lambda xx: op(xx, renamed=True)
+    dt = device_loop_time(fn, jnp.asarray(x))
+    return SpmvMetrics(
+        name=name, preproc_s=preproc_s, spmv_ms=dt * 1e3,
+        gbps=nnz * 8 / dt / 1e9, gops=2 * nnz / dt / 1e9,
+        stream_gbps=stream_bytes / dt / 1e9, fill=fill,
+        roofline_frac=(stream_bytes / dt / 1e9) / device_hbm_gbps())
+
+
+def geomean(vals) -> float:
+    vals = [v for v in vals if v > 0]
+    return float(np.exp(np.mean(np.log(vals)))) if vals else 0.0
