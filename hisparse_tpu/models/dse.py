@@ -1,0 +1,118 @@
+"""Design-space explorer — the port of performance_model/design_space_exp.cpp.
+
+The reference sweeps (vector-buffer, output-buffer) bank sizes under a URAM
+budget (design_space_exp.cpp:505-520: 6 clusters x 8 x (2*vb + ob) blocks
+< 320) and picks the geomean-best point over its dataset suite
+(:524-547, emitting a CSV; the paper lands on ob=32KB/vb=16KB banks).
+
+Here the knobs are (sublanes S, bank_blocks B, stripes R, split_max) under
+the VMEM budget of the resident kernel variant, the cost function is the
+analytical model (models/perf_model.py) fed with real pack statistics, and
+the result is the geomean-best SpmvConfig over a workload list plus a CSV
+dump.
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import time
+from typing import Sequence
+
+import numpy as np
+
+from ..config import SpmvConfig
+from ..formats.csr import CSRMatrix
+from ..formats.wavepack import pack
+from ..ops.spmv import resident_bytes, _RESIDENT_VMEM_BUDGET
+from ..utils.bench import geomean
+from .perf_model import estimate
+
+
+@dataclasses.dataclass
+class DsePoint:
+    cfg: SpmvConfig
+    split_max: int | None
+    gops_geomean: float
+    per_matrix: list
+
+
+def default_grid():
+    pts = []
+    for S, B, R, split in itertools.product(
+            (256, 512), (1, 2, 4), (4, 64, 128, 256, 512), (None, 256, 1024)):
+        if R > S:
+            continue
+        try:
+            cfg = SpmvConfig(sublanes=S, bank_blocks=B, stripes=R)
+        except ValueError:
+            continue
+        pts.append((cfg, split))
+    return pts
+
+
+def sample_rows(m: CSRMatrix, max_rows: int, seed: int = 0) -> CSRMatrix:
+    """Row-sampled surrogate so a sweep over many points stays cheap (the
+    model only needs representative fill/alpha statistics)."""
+    if m.num_rows <= max_rows:
+        return m
+    rng = np.random.default_rng(seed)
+    rows = np.sort(rng.choice(m.num_rows, max_rows, replace=False))
+    counts = m.row_nnz()[rows]
+    indptr = np.zeros(max_rows + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    idx = np.empty(int(indptr[-1]), np.int32)
+    dat = np.empty(int(indptr[-1]), m.data.dtype)
+    for i, r in enumerate(rows):
+        s, e = m.indptr[r], m.indptr[r + 1]
+        idx[indptr[i]:indptr[i + 1]] = m.indices[s:e]
+        dat[indptr[i]:indptr[i + 1]] = m.data[s:e]
+    return CSRMatrix(max_rows, m.num_cols, dat, idx, indptr)
+
+
+def explore(matrices: Sequence[tuple[str, CSRMatrix]],
+            grid=None, hbm_gbps: float = 819.0,
+            sample_max_rows: int = 200_000,
+            vmem_budget: int = _RESIDENT_VMEM_BUDGET,
+            csv_path: str | None = None,
+            verbose: bool = False) -> list[DsePoint]:
+    """Evaluate every design point on every matrix; returns points sorted
+    best-first by geomean estimated GOPS."""
+    grid = grid if grid is not None else default_grid()
+    sampled = [(n, sample_rows(m, sample_max_rows)) for n, m in matrices]
+    results = []
+    for cfg, split in grid:
+        per = []
+        for name, m in sampled:
+            n_blocks = max(1, -(-m.num_rows // cfg.rows_per_block))
+            n_parts = max(1, -(-m.num_cols // cfg.vb_cols))
+            if resident_bytes(cfg, n_blocks, n_parts) > vmem_budget:
+                # paged fallback allowed, but URAM-budget analog: penalize by
+                # modeling the x reloads (estimate() handles it)
+                pass
+            t0 = time.perf_counter()
+            wp = pack(m, cfg, split_max=split)
+            est = estimate(m, cfg, wp, hbm_gbps)
+            per.append((name, est, time.perf_counter() - t0))
+        point = DsePoint(cfg, split, geomean([e.gops for _, e, _ in per]),
+                         per)
+        results.append(point)
+        if verbose:
+            print(f"S={cfg.sublanes:4d} B={cfg.bank_blocks} "
+                  f"R={cfg.stripes:4d} split={split}: "
+                  f"{point.gops_geomean:8.1f} GOPS geomean")
+    results.sort(key=lambda p: -p.gops_geomean)
+    if csv_path:
+        with open(csv_path, "w") as f:
+            f.write("sublanes,bank_blocks,stripes,split_max,gops_geomean\n")
+            for p in results:
+                f.write(f"{p.cfg.sublanes},{p.cfg.bank_blocks},"
+                        f"{p.cfg.stripes},{p.split_max},"
+                        f"{p.gops_geomean:.2f}\n")
+    return results
+
+
+def best_config(m: CSRMatrix, grid=None, **kw) -> tuple[SpmvConfig, int | None]:
+    """Single-matrix auto-tuner (the per-run bank-size override analog,
+    sw/benchmark.cpp:112-115)."""
+    pts = explore([("m", m)], grid=grid, **kw)
+    return pts[0].cfg, pts[0].split_max

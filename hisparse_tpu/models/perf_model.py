@@ -1,0 +1,107 @@
+"""Analytical performance model — the port of performance_model.cpp:430-444.
+
+The reference models one SpMV as
+    T = max(TM, TV) + TW,   p = min(alpha, beta) * total_lanes,
+with alpha = shuffle efficiency (ideal/actual iterations), beta = payload
+fraction of the padded CPSR stream, TM = matrix stream time, TV = vector
+reload time, TW = result writeback time (cycles at 237 MHz over 16 channels).
+
+TPU mapping:
+  * beta  -> wavepack fill (true nnz / padded slots), computed exactly by
+    the packer.
+  * alpha -> wave-scheduling efficiency: optimum waves / scheduled waves,
+    where the optimum per (segment, stripe) is
+    max(max row nnz, max per-bank distinct-column load) — the bipartite
+    edge-coloring lower bound.
+  * TM -> stream bytes / HBM bandwidth; compute bound -> slots / slot_rate
+    (slot_rate calibrated per bank_blocks count); TV -> x (re)load traffic
+    (zero reloads for the resident variant); TW -> y writeback traffic.
+
+The model predicts GOPS and names the binding resource, and is the cost
+function for the design-space explorer (models/dse.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..config import LANES, SpmvConfig
+from ..formats.csr import CSRMatrix
+from ..formats.wavepack import Wavepack
+from ..ops.spmv import resident_bytes, _RESIDENT_VMEM_BUDGET
+
+# measured sustained slot rates (Gslot/s) on TPU v5e by bank_blocks count
+# (scripts/tpu_bench1.py); linear interpolation elsewhere.
+SLOT_RATE_GSLOTS = {1: 55.0, 2: 45.0, 4: 34.0}
+
+
+def slot_rate(bank_blocks: int) -> float:
+    ks = sorted(SLOT_RATE_GSLOTS)
+    if bank_blocks in SLOT_RATE_GSLOTS:
+        return SLOT_RATE_GSLOTS[bank_blocks]
+    lo = max([k for k in ks if k < bank_blocks], default=ks[0])
+    hi = min([k for k in ks if k > bank_blocks], default=ks[-1])
+    if lo == hi:
+        return SLOT_RATE_GSLOTS[lo]
+    f = (bank_blocks - lo) / (hi - lo)
+    return SLOT_RATE_GSLOTS[lo] * (1 - f) + SLOT_RATE_GSLOTS[hi] * f
+
+
+@dataclasses.dataclass
+class PerfEstimate:
+    gops: float
+    time_s: float
+    bound: str            # 'hbm-stream' | 'compute' | 'x-reload'
+    alpha: float          # scheduling efficiency
+    beta: float           # fill
+    tm_s: float
+    tv_s: float
+    tw_s: float
+
+    def row(self) -> str:
+        return (f"est {self.gops:7.1f} GOPS  bound={self.bound:10s} "
+                f"alpha={self.alpha:.2f} beta={self.beta:.2f} "
+                f"TM={self.tm_s*1e6:.1f}us TV={self.tv_s*1e6:.1f}us "
+                f"TW={self.tw_s*1e6:.1f}us")
+
+
+def schedule_alpha(m: CSRMatrix, cfg: SpmvConfig, wp: Wavepack) -> float:
+    """Optimum waves / scheduled waves (<= 1)."""
+    sched_waves = wp.num_tiles * cfg.sublanes
+    # optimum: per (block, part, stripe): max(max row nnz, max bank load)
+    RPB, VB = cfg.rows_per_block, cfg.vb_cols
+    rows = np.repeat(np.arange(m.num_rows), m.row_nnz())
+    # approximate using the packer's renamed order statistics: per stripe of
+    # 128 consecutive renamed rows, the nnz of the heaviest row dominates
+    nnz_sorted = np.sort(m.row_nnz())[::-1]
+    n_stripes = -(-max(m.num_rows, 1) // LANES)
+    opt = 0
+    for s in range(n_stripes):
+        seg = nnz_sorted[s * LANES:(s + 1) * LANES]
+        if seg.size:
+            opt += int(seg.max())
+    opt = max(opt, 1)
+    return min(1.0, opt / max(sched_waves, 1))
+
+
+def estimate(m: CSRMatrix, cfg: SpmvConfig, wp: Wavepack,
+             hbm_gbps: float = 819.0) -> PerfEstimate:
+    nnz = m.nnz
+    slots = wp.num_tiles * cfg.tile_slots
+    beta = wp.fill
+    alpha = schedule_alpha(m, cfg, wp)
+
+    tm = wp.stream_bytes / (hbm_gbps * 1e9)
+    tc = slots / (slot_rate(cfg.bank_blocks) * 1e9)
+    resident = (resident_bytes(cfg, wp.n_blocks, wp.n_parts)
+                <= _RESIDENT_VMEM_BUDGET)
+    x_bytes = wp.n_parts * cfg.vb_cols * 4 * (1 if resident else wp.n_blocks)
+    tv = x_bytes / (hbm_gbps * 1e9)
+    tw = wp.n_blocks * cfg.stripes * LANES * 4 / (hbm_gbps * 1e9)
+
+    stream_t = max(tm, tc, tv)
+    bound = {tm: "hbm-stream", tc: "compute", tv: "x-reload"}[stream_t]
+    t = stream_t + tw
+    return PerfEstimate(gops=2 * nnz / t / 1e9, time_s=t, bound=bound,
+                        alpha=alpha, beta=beta, tm_s=tm, tv_s=tv, tw_s=tw)

@@ -52,10 +52,10 @@ from ..formats.wavepack import Wavepack
 _RESIDENT_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _tile_body(vals, idx, xt, cfg: SpmvConfig):
-    """Shared per-tile pipeline: decode -> banked gather -> row crossbar ->
-    multiply.  ``xt`` is (B, 128, 128) transposed x-bank blocks; returns the
-    (S, 128) contribution in dest-slot layout."""
+def _route_x(idx, xt, cfg: SpmvConfig):
+    """Shared per-tile gather pipeline: decode -> banked gather -> row
+    crossbar.  ``xt`` is (B, 128, 128) transposed x-bank blocks; returns the
+    (S, 128) routed x values in dest-slot layout."""
     B, G = cfg.bank_blocks, cfg.groups
     hT = idx & 0x7F
     bT = (idx >> 7) & 0x7
@@ -72,8 +72,69 @@ def _tile_body(vals, idx, xt, cfg: SpmvConfig):
         src_groups.append(srcT[sl].T)
     gx = jnp.concatenate(gx_groups, axis=0) if G > 1 else gx_groups[0]
     src = jnp.concatenate(src_groups, axis=0) if G > 1 else src_groups[0]
-    routed = jnp.take_along_axis(gx, src, axis=1)
-    return vals * routed
+    return jnp.take_along_axis(gx, src, axis=1)
+
+
+def _fixed_madd(acc, a, b):
+    """Saturating unsigned Q8.24 multiply-accumulate, bit-exact with
+    ap_ufixed<32,8,AP_RND,AP_SAT> (common.h:35-39; product evaluated wide,
+    AP_RND round-half-up to 24 frac bits, AP_SAT clamp; accumulate clamps).
+
+    64-bit product emulated with 16-bit limb products on uint32 (exact mod
+    2^32 with explicit carries; the true high word fits 32 bits so modular
+    carry propagation is exact).
+    """
+    u16 = jnp.uint32(0xFFFF)
+    al, ah = a & u16, a >> 16
+    bl, bh = b & u16, b >> 16
+    ll = al * bl
+    lh = al * bh
+    hl = ah * bl
+    hh = ah * bh
+    mid = lh + hl
+    cmid = (mid < lh).astype(jnp.uint32)
+    lo = ll + (mid << 16)
+    clo = (lo < ll).astype(jnp.uint32)
+    hi = hh + (mid >> 16) + (cmid << 16) + clo
+    half = jnp.uint32(1 << 23)
+    lo_r = lo + half
+    c_r = (lo_r < lo).astype(jnp.uint32)
+    hi_r = hi + c_r
+    prod = (lo_r >> 24) | (hi_r << 8)
+    sat = hi_r >= jnp.uint32(1 << 24)
+    ones = jnp.uint32(0xFFFFFFFF)
+    prod = jnp.where(sat, ones, prod)
+    s = acc + prod
+    return jnp.where(s < acc, ones, s)
+
+
+def fixed_sat_sum(x, axis):
+    """Saturating-unsigned fold along an axis (PE output-stage semantics)."""
+    n = x.shape[axis]
+    acc = jax.lax.index_in_dim(x, 0, axis, keepdims=False)
+    ones = jnp.uint32(0xFFFFFFFF)
+    for i in range(1, n):
+        term = jax.lax.index_in_dim(x, i, axis, keepdims=False)
+        s = acc + term
+        acc = jnp.where(s < acc, ones, s)
+    return acc
+
+
+def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig):
+    if cfg.dtype == "fixed":
+        xi = _route_x(idx, pltpu_bitcast_i32(xt), cfg)
+        routed = pltpu_bitcast_u32(xi)
+        return _fixed_madd(acc, vals, routed)
+    routed = _route_x(idx, xt, cfg)
+    return acc + vals * routed
+
+
+def pltpu_bitcast_i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def pltpu_bitcast_u32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
 
 
 def _resident_kernel(part_ref, block_ref, vals_ref, idxT_ref, xt_ref,
@@ -88,9 +149,10 @@ def _resident_kernel(part_ref, block_ref, vals_ref, idxT_ref, xt_ref,
     pid = part_ref[t]
     bid = block_ref[t]
     xt = xt_ref[pid]
-    contrib = _tile_body(vals_ref[0], idxT_ref[0], xt, cfg)
     off = pl.multiple_of(bid * S, S)
-    out_ref[pl.ds(off, S), :] = out_ref[pl.ds(off, S), :] + contrib
+    acc = out_ref[pl.ds(off, S), :]
+    out_ref[pl.ds(off, S), :] = _tile_body(vals_ref[0], idxT_ref[0], xt,
+                                           acc, cfg)
 
 
 def _paged_kernel(part_ref, block_ref, first_ref, vals_ref, idxT_ref, xt_ref,
@@ -101,8 +163,8 @@ def _paged_kernel(part_ref, block_ref, first_ref, vals_ref, idxT_ref, xt_ref,
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    contrib = _tile_body(vals_ref[0], idxT_ref[0], xt_ref[0], cfg)
-    out_ref[0] = out_ref[0] + contrib
+    out_ref[0] = _tile_body(vals_ref[0], idxT_ref[0], xt_ref[0], out_ref[0],
+                            cfg)
 
 
 def resident_bytes(cfg: SpmvConfig, n_blocks: int, n_parts: int) -> int:
@@ -123,8 +185,12 @@ def _spmv_call(vals, idxT, part, block, first, last, x, *,
     # compiled Pallas needs a TPU; on CPU backends fall back to the
     # interpreter (the csim analog) automatically
     interpret = interpret or jax.default_backend() == "cpu"
-    x_padded = jnp.pad(x.astype(vals.dtype),
-                       (0, n_parts * cfg.vb_cols - x.shape[0]))
+    if cfg.dtype == "fixed":
+        assert x.dtype == jnp.uint32, "fixed-point SpMV takes raw Q8.24 x"
+        x_cast = x
+    else:
+        x_cast = x.astype(vals.dtype)
+    x_padded = jnp.pad(x_cast, (0, n_parts * cfg.vb_cols - x.shape[0]))
     # vector-loader analog: pre-transpose x into per-partition bank blocks
     # XT[p, b, l, h] = x[p*VB + (b*128 + h)*128 + l]
     XT = x_padded.reshape(n_parts, B, 128, LANES).transpose(0, 1, 3, 2)
@@ -154,7 +220,9 @@ def _spmv_call(vals, idxT, part, block, first, last, x, *,
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
         )(part, block, vals, idxT, XT)
-        y_blocks = out.reshape(n_blocks, S // R, R, LANES).sum(axis=1)
+        folded = out.reshape(n_blocks, S // R, R, LANES)
+        y_blocks = (fixed_sat_sum(folded, 1) if cfg.dtype == "fixed"
+                    else folded.sum(axis=1))
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -182,7 +250,9 @@ def _spmv_call(vals, idxT, part, block, first, last, x, *,
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
         )(part, block, first, vals, idxT, XT)
-        y_blocks = out.reshape(n_blocks, S // R, R, LANES).sum(axis=1)
+        folded = out.reshape(n_blocks, S // R, R, LANES)
+        y_blocks = (fixed_sat_sum(folded, 1) if cfg.dtype == "fixed"
+                    else folded.sum(axis=1))
     return y_blocks
 
 
@@ -210,6 +280,9 @@ class SpmvOperator:
         self.last = jnp.asarray(wp.tile_last)
 
     def __call__(self, x, renamed: bool = False):
+        if self.cfg.dtype == "fixed" and np.asarray(x).dtype != np.uint32:
+            from .golden import float_to_fixed
+            x = float_to_fixed(np.asarray(x))
         y_blocks = _spmv_call(
             self.vals, self.idxT, self.part, self.block, self.first,
             self.last, jnp.asarray(x),

@@ -1,0 +1,41 @@
+"""Perf-model and DSE tests (the performance_model/ + design_space_exp
+tower, performance_model.cpp:430-444, design_space_exp.cpp:496-547)."""
+import numpy as np
+
+from hisparse_tpu import SpmvConfig, uniform_sparse_csr, powerlaw_csr, pack
+from hisparse_tpu.models.perf_model import estimate, slot_rate
+from hisparse_tpu.models.dse import explore, best_config, sample_rows
+
+
+def test_estimate_sane():
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128)
+    m = uniform_sparse_csr(2000, 3000, 16, seed=1)
+    wp = pack(m, cfg)
+    est = estimate(m, cfg, wp)
+    assert est.gops > 0 and est.time_s > 0
+    assert 0 < est.beta <= 1 and 0 < est.alpha <= 1
+    assert est.bound in ("hbm-stream", "compute", "x-reload")
+
+
+def test_slot_rate_interpolation():
+    assert slot_rate(1) > slot_rate(2) > slot_rate(4)
+    assert slot_rate(3) == (slot_rate(2) + slot_rate(4)) / 2
+
+
+def test_sample_rows():
+    m = powerlaw_csr(5000, 1000, 5, seed=2)
+    s = sample_rows(m, 500)
+    assert s.num_rows == 500 and s.num_cols == m.num_cols
+    assert s.nnz <= m.nnz
+
+
+def test_dse_explore(tmp_path):
+    m = uniform_sparse_csr(1500, 2000, 10, seed=3)
+    grid = [(SpmvConfig(sublanes=128, bank_blocks=1, stripes=r), None)
+            for r in (32, 128)]
+    pts = explore([("u", m)], grid=grid, csv_path=str(tmp_path / "dse.csv"))
+    assert len(pts) == 2
+    assert pts[0].gops_geomean >= pts[1].gops_geomean
+    assert (tmp_path / "dse.csv").exists()
+    cfg, split = best_config(m, grid=grid)
+    assert cfg.sublanes == 128
