@@ -26,6 +26,9 @@ BASELINE_GOPS = 16.7
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     from hisparse_tpu import (SpmvConfig, uniform_sparse_csr, powerlaw_csr,
                               pack, SpmvOperator)
     from hisparse_tpu.ops.golden import spmv_f64

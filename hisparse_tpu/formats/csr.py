@@ -212,9 +212,9 @@ def powerlaw_csr(num_rows: int, num_cols: int, avg_nnz_per_row: float,
     np.cumsum(deg, out=indptr[1:])
     nnz = int(indptr[-1])
     indices = rng.integers(0, num_cols, nnz).astype(np.int32)
-    # dedupe within rows loosely: sort per row (duplicates allowed; SpMV sums)
-    for r in range(num_rows):
-        s, e = indptr[r], indptr[r + 1]
-        indices[s:e] = np.sort(indices[s:e])
+    # sort within rows (duplicates allowed; SpMV sums) — vectorized
+    rows = np.repeat(np.arange(num_rows), deg)
+    order = np.lexsort((indices, rows))
+    indices = indices[order]
     data = rng.random(nnz, np.float32).astype(dtype)
     return CSRMatrix(num_rows, num_cols, data, indices, indptr)

@@ -36,42 +36,39 @@ def _sync(v) -> None:
     np.asarray(jnp.sum(v))
 
 
-def device_loop_time(fn: Callable, x: jax.Array,
+def device_loop_time(fn: Callable, x: jax.Array, *args,
                      target_spread_s: float = 0.5) -> float:
-    """Marginal per-iteration device time of ``fn(x) -> array``.
+    """Marginal per-iteration device time of ``fn(x, *args) -> array``.
 
     Builds ``lax.fori_loop(0, reps, ...)`` around fn with a per-iteration
     input perturbation, then returns the slope (T(r2)-T(r1))/(r2-r1) with
     rep counts auto-calibrated so the spread dwarfs round-trip latency
-    noise (which can be tens of ms through a tunneled device).
+    noise (tens of ms through a tunneled device).  All arrays must be
+    passed via ``args`` (not closed over), otherwise jit embeds them as
+    constants in the compiled module.
     """
-    def make(reps: int):
-        @jax.jit
-        def run(x, reps_arr):
-            def body(i, carry):
-                acc, xx = carry
-                y = fn(xx)
-                return acc + y.reshape(-1)[0], xx + 1e-12 * i
-            acc, _ = jax.lax.fori_loop(0, reps_arr, body,
-                                       (jnp.float32(0), x))
-            return acc
-        return lambda xx: run(xx, reps)
+    @jax.jit
+    def run(x, reps, *args):
+        def body(i, carry):
+            acc, xx = carry
+            y = fn(xx, *args)
+            return acc + y.reshape(-1)[0], xx + 1e-12 * i
+        acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), x))
+        return acc
 
-    def timed(f):
-        t0 = time.perf_counter(); _sync(f(x)); return time.perf_counter() - t0
+    def timed(reps):
+        t0 = time.perf_counter()
+        _sync(run(x, reps, *args))
+        return time.perf_counter() - t0
 
-    # calibration: estimate per-iteration cost with a modest loop
-    f_cal = make(32)
-    timed(f_cal)                       # compile + warm
-    est = max((min(timed(f_cal), timed(f_cal)) - 0.03) / 32, 1e-7)
+    timed(4)                           # single compile + warm
+    est = max((min(timed(32), timed(32)) - 0.03) / 32, 1e-7)
     r1 = 16
     r2 = r1 + max(64, min(int(target_spread_s / est), 20000))
-    f1, f2 = make(r1), make(r2)
-    timed(f1); timed(f2)               # compile
     best = np.inf
     for _ in range(2):
-        ta = timed(f1)
-        tb = timed(f2)
+        ta = timed(r1)
+        tb = timed(r2)
         best = min(best, (tb - ta) / (r2 - r1))
     return max(best, 1e-9)
 
@@ -98,8 +95,17 @@ class SpmvMetrics:
 
 def measure_spmv(name: str, op, x, nnz: int, stream_bytes: int,
                  preproc_s: float = 0.0, fill: float = 0.0) -> SpmvMetrics:
-    fn = lambda xx: op(xx, renamed=True)
-    dt = device_loop_time(fn, jnp.asarray(x))
+    from ..ops.spmv import _spmv_call
+
+    def fn(xx, vals, idxT, part, block, first, last):
+        y = _spmv_call(vals, idxT, part, block, first, last, xx,
+                       cfg=op.cfg, n_blocks=op.wp.n_blocks,
+                       n_parts=op.wp.n_parts, interpret=op.interpret,
+                       variant=op.variant)
+        return y.reshape(-1)
+
+    dt = device_loop_time(fn, jnp.asarray(x), op.vals, op.idxT, op.part,
+                          op.block, op.first, op.last)
     return SpmvMetrics(
         name=name, preproc_s=preproc_s, spmv_ms=dt * 1e3,
         gbps=nnz * 8 / dt / 1e9, gops=2 * nnz / dt / 1e9,

@@ -178,3 +178,56 @@ def test_column_hub_dedupe():
     wp = pack(m, cfg)
     assert wp.num_tiles == 1  # broadcast handled in one wave per stripe
     assert_same_matrix(m, decode(wp))
+
+
+def test_wavepack_save_load(tmp_path):
+    from hisparse_tpu.formats.wavepack import save_wavepack, load_wavepack
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=64)
+    m = powerlaw_csr(300, 400, 6, seed=12)
+    wp = pack(m, cfg, split_max=32)
+    p = tmp_path / "wp.npz"
+    save_wavepack(p, wp)
+    wp2 = load_wavepack(p)
+    assert wp2.config == wp.config
+    assert np.array_equal(wp2.vals, wp.vals)
+    assert np.array_equal(wp2.idxT, wp.idxT)
+    assert np.array_equal(wp2.perm, wp.perm)
+    assert_same_matrix(decode(wp2), decode(wp))
+
+
+def test_scheduler_traffic_patterns():
+    """The shuffle-testbench traffic suite analog
+    (unit_tests/test_shuffle.cpp:440-543: uniform / rotated / N-hot-lane
+    conflict / random), applied to the wave scheduler: every pattern must
+    schedule within 2x of its edge-coloring lower bound."""
+    from hisparse_tpu.formats.wavepack import _schedule
+    rng = np.random.default_rng(13)
+    n = 128 * 64
+
+    def run(bank, lam, addr=None):
+        stripe = np.zeros(n, np.int32)
+        addr = np.zeros(n, np.int32) if addr is None else addr
+        order = np.lexsort((np.arange(n), addr, bank, stripe))
+        k = _schedule(stripe[order], lam[order], bank[order], addr[order])
+        waves = int(k.max()) + 1
+        rows_max = np.bincount(lam, minlength=128).max()
+        cols = np.unique(np.stack([bank, addr]), axis=1)
+        bank_max = np.bincount(cols[0], minlength=128).max()
+        lower = max(rows_max, bank_max)
+        return waves, lower
+
+    lam = np.tile(np.arange(128, dtype=np.int32), 64)
+    # uniform: bank == lane
+    waves, lower = run(lam.copy(), lam)
+    assert waves <= 2 * lower
+    # rotated: bank = lane + 1 mod 128
+    waves, lower = run(((lam + 1) % 128).astype(np.int32), lam)
+    assert waves <= 2 * lower
+    # conflict: all traffic to one bank, distinct addresses (no dedupe)
+    addr = np.arange(n, dtype=np.int32) % 97
+    waves, lower = run(np.zeros(n, np.int32), lam, addr)
+    assert waves <= 2 * lower
+    # random
+    waves, lower = run(rng.integers(0, 128, n).astype(np.int32), lam,
+                       rng.integers(0, 256, n).astype(np.int32))
+    assert waves <= 2 * lower
