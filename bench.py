@@ -42,7 +42,7 @@ def main():
                   cfg_g, None))
     suite.append(("powerlaw-100k-d10", powerlaw_csr(100000, 100000, 10,
                                                     alpha=1.3, seed=2),
-                  cfg_g, 512))
+                  cfg_g, "auto"))
     # pruned-NN regime: few dense rows (transformer-90-ish density)
     cfg_n = SpmvConfig(sublanes=512, bank_blocks=2, stripes=4)
     suite.append(("pruned-nn-512x33k-d10%",

@@ -60,6 +60,13 @@ class SpmvConfig:
         below the reference's 1e-4 test tolerance, sw/host.cpp:62).  When
         False the source lane travels in the index word and is transposed
         back in-kernel (exact; required for 'fixed').
+      two_choice: power-of-two-choices banking — the x tile is additionally
+        materialized with each 128-deep block rotated along banks by a
+        per-block shift, giving every column a second candidate bank; the
+        wave scheduler picks whichever is free, collapsing the max-bank-load
+        (birthday) term that otherwise dominates padding.  Doubles the
+        resident x tile and the gather select chain.  This is the TPU analog
+        of widening the shuffler's arbitration window (shuffle.h:211-377).
     """
 
     sublanes: int = 512
@@ -67,6 +74,7 @@ class SpmvConfig:
     stripes: int = 512
     dtype: Literal["fp32", "fixed", "bf16"] = "fp32"
     steal_mantissa: bool = False
+    two_choice: bool = True
 
     def __post_init__(self):
         if self.sublanes % LANES != 0:
@@ -75,8 +83,16 @@ class SpmvConfig:
             raise ValueError("stripes must divide sublanes")
         if self.bank_blocks < 1 or self.bank_blocks > 8:
             raise ValueError("bank_blocks must be in [1, 8]")
+        if self.two_choice and self.bank_blocks > 4:
+            raise ValueError("two_choice needs bank_blocks <= 4 "
+                             "(3-bit block field)")
         if self.dtype == "fixed" and self.steal_mantissa:
             raise ValueError("fixed-point stream cannot steal mantissa bits")
+
+    @property
+    def total_blocks(self) -> int:
+        """Gather-operand block count (doubled by two-choice banking)."""
+        return self.bank_blocks * (2 if self.two_choice else 1)
 
     @property
     def vb_cols(self) -> int:

@@ -21,7 +21,8 @@
 namespace {
 
 struct Item {
-  int32_t bank;
+  int32_t bank;     // first-choice gather lane
+  int32_t bank2;    // second-choice gather lane (== bank if disabled)
   int32_t remaining;
   int32_t head;     // index into nz-index storage
   int32_t count;    // total entries
@@ -34,7 +35,8 @@ extern "C" void wp_schedule_segments(
     int64_t n_segs, const int64_t* seg_bounds,
     const int32_t* stripe, const int32_t* lam,
     const int32_t* bank, const int32_t* addr,
-    int64_t* k_of) {
+    const int32_t* bank2,
+    int64_t* k_of, uint8_t* choice) {
   std::vector<int64_t> store;      // nz indices per item, CSR order
   std::vector<Item> items;
   std::vector<Item*> pending, next_pending;
@@ -57,6 +59,7 @@ extern "C" void wp_schedule_segments(
         int32_t b = bank[p], a = addr[p];
         Item it;
         it.bank = b;
+        it.bank2 = bank2[p];
         it.head = static_cast<int32_t>(store.size());
         while (p < send && bank[p] == b && addr[p] == a) {
           store.push_back(p);
@@ -83,7 +86,12 @@ extern "C" void wp_schedule_segments(
         std::memset(used_rows, 0, sizeof used_rows);
         next_pending.clear();
         for (Item* it : pending) {
-          if (used_banks[it->bank]) {
+          int32_t lane; uint8_t ch;
+          if (!used_banks[it->bank]) {
+            lane = it->bank; ch = 0;
+          } else if (!used_banks[it->bank2]) {
+            lane = it->bank2; ch = 1;
+          } else {
             next_pending.push_back(it);
             continue;
           }
@@ -100,11 +108,12 @@ extern "C" void wp_schedule_segments(
             used_rows[lm] = true;
             alive[it->head + o] = 0;
             k_of[nz] = k;
+            choice[nz] = ch;
             ++placed;
           }
           it->remaining -= placed;
           if (first_alive >= 0) it->alive0 = first_alive;
-          if (placed) used_banks[it->bank] = true;
+          if (placed) used_banks[lane] = true;
           if (it->remaining) next_pending.push_back(it);
         }
         pending.swap(next_pending);

@@ -40,7 +40,9 @@ def _load():
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_int64)]
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint8)]
             lib.wp_schedule_segments.restype = None
             _lib = lib
         except Exception:
@@ -54,14 +56,15 @@ def available() -> bool:
 
 def schedule_segments(seg_bounds: np.ndarray, stripe: np.ndarray,
                       lam: np.ndarray, bank: np.ndarray,
-                      addr: np.ndarray) -> np.ndarray:
+                      addr: np.ndarray, bank2: np.ndarray):
     lib = _load()
     assert lib is not None
     n = stripe.size
     k_of = np.empty(n, np.int64)
+    choice = np.zeros(n, np.uint8)
     seg_bounds = np.ascontiguousarray(seg_bounds, np.int64)
     args = [np.ascontiguousarray(a, np.int32)
-            for a in (stripe, lam, bank, addr)]
+            for a in (stripe, lam, bank, addr, bank2)]
     lib.wp_schedule_segments(
         ctypes.c_int64(seg_bounds.size - 1),
         seg_bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -69,5 +72,7 @@ def schedule_segments(seg_bounds: np.ndarray, stripe: np.ndarray,
         args[1].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         args[2].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         args[3].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        k_of.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
-    return k_of
+        args[4].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        k_of.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        choice.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return k_of, choice

@@ -20,9 +20,10 @@ Format geometry (see config.SpmvConfig):
     per (128-sublane group, block) from a pre-transposed x tile.
     This is the analog of the banked vector buffer + col-shuffle
     (vecbuf_access_unit.h:18-84, shuffle keyed on col shuffle.h:24-99).
-  * **Dest slot** (w, lam): lane lam is the *row lane*; the row placed there
-    must satisfy ``renamed_row % 128 == lam`` and its stripe
-    ``sigma = renamed_row//128`` must satisfy ``sigma == (w % S) % R``.
+  * **Dest slot** (w, lam): lane lam is the *row lane*.  Renamed rows are
+    dealt round-robin over stripes (``sigma = rho % R``, ``lam = rho // R``
+    within a block) so nnz-sorted rows spread evenly and every stripe's
+    wave demand is balanced; a wave at sublane s hosts stripe ``s % R``.
     Products are routed gather-slot -> dest-slot by a second lane-gather
     (the analog of the row-shuffle, shuffle.h:102-177) and accumulated into
     a resident (S,128) accumulator; a block flush reduces sublanes
@@ -57,6 +58,13 @@ import numpy as np
 
 from ..config import LANES, SpmvConfig
 from .csr import CSRMatrix, argsort_rows_by_nnz
+
+
+def bank_shift(b: int):
+    """Per-block lane rotation of the second-choice x copy (two-choice
+    banking).  Any fixed nonzero shift sequence works; this one decorrelates
+    neighboring blocks."""
+    return (b * 61 + 17) % 127 + 1
 
 
 @dataclasses.dataclass
@@ -107,20 +115,27 @@ class Wavepack:
 
 def _schedule_segments(seg_bounds: np.ndarray, stripe: np.ndarray,
                        lam: np.ndarray, bank: np.ndarray,
-                       addr: np.ndarray) -> np.ndarray:
-    """Schedule every (block, part) segment; native C++ when available."""
+                       addr: np.ndarray, bank2: np.ndarray | None):
+    """Schedule every (block, part) segment; native C++ when available.
+    Returns (k_of, choice) where choice[i]=1 means the nonzero's gather slot
+    uses its second-choice bank."""
     from . import native
+    if bank2 is None:
+        bank2 = bank
     if native.available():
-        return native.schedule_segments(seg_bounds, stripe, lam, bank, addr)
+        return native.schedule_segments(seg_bounds, stripe, lam, bank, addr,
+                                        bank2)
     k_of = np.empty(stripe.size, np.int64)
+    choice = np.zeros(stripe.size, np.uint8)
     for i in range(seg_bounds.size - 1):
         s, e = int(seg_bounds[i]), int(seg_bounds[i + 1])
-        k_of[s:e] = _schedule(stripe[s:e], lam[s:e], bank[s:e], addr[s:e])
-    return k_of
+        k_of[s:e], choice[s:e] = _schedule(stripe[s:e], lam[s:e], bank[s:e],
+                                           addr[s:e], bank2[s:e])
+    return k_of, choice
 
 
 def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
-              addr: np.ndarray) -> np.ndarray:
+              addr: np.ndarray, bank2: np.ndarray | None = None):
     """Assign each nonzero a wave index k within its stripe.
 
     Constraints per (stripe, k):
@@ -140,7 +155,10 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
     Pure-Python reference implementation; the C++ twin in formats/native.py
     runs the identical algorithm at dataset scale.
     """
+    if bank2 is None:
+        bank2 = bank
     k_of = np.empty(sigma.shape[0], np.int64)
+    choice = np.zeros(sigma.shape[0], np.uint8)
     order = np.lexsort((np.arange(sigma.size), addr, bank, sigma))
     so = sigma[order]
     starts = np.flatnonzero(np.r_[True, so[1:] != so[:-1]])
@@ -153,9 +171,10 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
         for nz in idxs:
             key = (int(bank[nz]), int(addr[nz]))
             items.setdefault(key, []).append(nz)
-        pending = [[len(v), key[0], v] for key, v in items.items()]
+        pending = [[len(v), key[0], int(bank2[v[0]]), v]
+                   for key, v in items.items()]
         for ent in pending:
-            ent[2].reverse()   # pop() yields CSR order
+            ent[3].reverse()   # pop() yields CSR order
         k = 0
         while pending:
             pending.sort(key=lambda e: -e[0])
@@ -163,8 +182,12 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
             used_rows = bytearray(LANES)
             new_pending = []
             for ent in pending:
-                cnt, bk_, q = ent
-                if used_banks[bk_]:
+                cnt, bk1, bk2, q = ent
+                if not used_banks[bk1]:
+                    bk_, ch = bk1, 0
+                elif not used_banks[bk2]:
+                    bk_, ch = bk2, 1
+                else:
                     new_pending.append(ent)
                     continue
                 placed = 0
@@ -177,6 +200,7 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
                         continue
                     used_rows[lm] = 1
                     k_of[nz] = k
+                    choice[nz] = ch
                     placed += 1
                 kept.reverse()
                 q.extend(kept)
@@ -187,12 +211,12 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
                     new_pending.append(ent)
             pending = new_pending
             k += 1
-    return k_of
+    return k_of, choice
 
 
 def pack(m: CSRMatrix, config: SpmvConfig | None = None,
          row_order: np.ndarray | None = None,
-         split_max: int | None = None,
+         split_max: int | None | str = None,
          col_order: np.ndarray | None = None) -> Wavepack:
     """Pack a CSR matrix into wavepack streams (csr2cpsr analog,
     data_formatter.h:465-544).
@@ -213,6 +237,11 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     """
     cfg = config or SpmvConfig()
     orig_num_rows = m.num_rows
+    if split_max == "auto":
+        # bound hub rows near the mean so no single row dominates its
+        # stripe's wave count (fill sweep: ~1x mean is the sweet spot)
+        mean = max(float(m.nnz) / max(m.num_rows, 1), 1.0)
+        split_max = max(8, 1 << int(np.ceil(np.log2(mean))))
     if split_max is not None:
         from .csr import split_rows
         m, row_map = split_rows(m, split_max)
@@ -249,8 +278,10 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     a_all = (c_in // LANES).astype(np.int32)        # in-bank address
     blk_of_nz = (rho_all // RPB).astype(np.int32)   # row block
     rho_loc = rho_all % RPB
-    lam_all = (rho_loc % LANES).astype(np.int32)
-    sigma_all = (rho_loc // LANES).astype(np.int32)
+    # round-robin stripe deal: consecutive (nnz-sorted) renamed rows go to
+    # different stripes, balancing per-stripe wave demand
+    sigma_all = (rho_loc % R).astype(np.int32)
+    lam_all = (rho_loc // R).astype(np.int32)
     val_dtype = m.data.dtype if cfg.dtype == "fixed" else np.float32
     G = cfg.groups
 
@@ -272,7 +303,14 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
         seg_starts = np.flatnonzero(np.r_[True, seg_key[1:] != seg_key[:-1]])
         seg_bounds = np.r_[seg_starts, nnz_total]
 
-        k_of = _schedule_segments(seg_bounds, so, lo, jo, ao)
+        if cfg.two_choice:
+            blk_o = ao // 128
+            shifts = np.array([bank_shift(b) for b in range(cfg.bank_blocks)],
+                              np.int32)
+            b2o = ((jo + shifts[blk_o]) % LANES).astype(np.int32)
+        else:
+            b2o = None
+        k_of, choice = _schedule_segments(seg_bounds, so, lo, jo, ao, b2o)
 
         # per-segment tile counts and global tile offsets
         w = so.astype(np.int64) + k_of * R
@@ -290,9 +328,15 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
         va = np.zeros((T_total, S, LANES), val_dtype)
         packed = np.zeros((T_total, S, LANES), np.int32)
         vals_sorted = m.data[order].astype(val_dtype)
-        # gather-role fields at (t, s, bank); dest-role at (t, s, row lane)
-        packed[t_glob, s_loc, jo] |= (ao // 128 << 7) | (ao % 128)
-        packed[t_glob, s_loc, lo] |= jo << 10
+        if cfg.two_choice:
+            lane_used = np.where(choice, b2o, jo).astype(np.int32)
+            bfield = (ao // 128 + cfg.bank_blocks * choice).astype(np.int32)
+        else:
+            lane_used = jo
+            bfield = (ao // 128).astype(np.int32)
+        # gather-role fields at (t, s, gather lane); dest-role at (t, s, row lane)
+        packed[t_glob, s_loc, lane_used] |= (bfield << 7) | (ao % 128)
+        packed[t_glob, s_loc, lo] |= lane_used << 10
         va[t_glob, s_loc, lo] = vals_sorted
         idxT = (packed.reshape(T_total, G, 128, 128)
                 .swapaxes(2, 3).reshape(T_total, S, LANES).copy())
@@ -308,8 +352,17 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
 
     # map renamed -> original rows (virtual rows of a split hub all map to
     # the same original row; padding rows map to the sentinel orig_num_rows)
-    perm_orig = np.where(perm < m.num_rows, row_map[np.minimum(perm, m.num_rows - 1)],
+    perm_orig = np.where(perm < m.num_rows,
+                         row_map[np.minimum(perm, max(m.num_rows - 1, 0))],
                          orig_num_rows)
+    # re-store in y-layout: y slot (block, sigma, lam) holds renamed row
+    # rho = block*RPB + lam*R + sigma
+    rho_local = np.arange(RPB)
+    ypos = (rho_local % R) * LANES + rho_local // R
+    perm_y = np.empty_like(perm_orig)
+    for bk in range(n_blocks):
+        perm_y[bk * RPB + ypos] = perm_orig[bk * RPB + rho_local]
+    perm_orig = perm_y
     return Wavepack(cfg, orig_num_rows, m.num_cols, n_blocks, n_parts,
                     perm_orig, vals, idxT, t_part_arr, t_block_arr, first,
                     last, nnz=nnz_total, col_order=col_order)
@@ -338,8 +391,17 @@ def decode(wp: Wavepack) -> CSRMatrix:
         v = wp.vals[t]
         s_idx, lam_idx = np.nonzero(v != 0)
         jj = src[s_idx, lam_idx]
-        a = b[s_idx, jj] * 128 + h[s_idx, jj]
-        col = p * VB + a * LANES + jj
+        bf = b[s_idx, jj]
+        hh = h[s_idx, jj]
+        if cfg.two_choice:
+            is2 = bf >= cfg.bank_blocks
+            b0 = np.where(is2, bf - cfg.bank_blocks, bf)
+            shifts = np.array([bank_shift(q) for q in range(cfg.bank_blocks)])
+            j1 = np.where(is2, (jj - shifts[b0]) % LANES, jj)
+        else:
+            b0, j1 = bf, jj
+        a = b0 * 128 + hh
+        col = p * VB + a * LANES + j1
         if wp.col_order is not None:
             col = np.where(col < wp.num_cols, wp.col_order[np.minimum(col, wp.num_cols - 1)], col)
         sigma = s_idx % R

@@ -42,18 +42,26 @@ class PageRank:
         # virtual partials would feed back unsummed), so split_max=None
         self.wp = pack(m, config, row_order=order, col_order=order)
         self.op = SpmvOperator(self.wp, interpret=interpret)
-        # renamed slot of each original row (first/only occurrence)
-        perm = self.wp.perm
-        self.n_slots = perm.shape[0]
-        inv = np.full(self.n, -1, np.int64)
-        seen = perm < self.n
-        inv[perm[seen]] = np.arange(perm.shape[0])[seen]
-        self.inv = inv
-        self.valid = jnp.asarray((perm < self.n).astype(np.float32))
+        cfg = self.wp.config
+        self.n_slots = self.wp.n_blocks * cfg.rows_per_block
+        # rank layout: slot i holds original row order[i]; i >= n is padding
+        self.inv = np.empty(self.n, np.int64)
+        self.inv[order] = np.arange(self.n)
+        valid = np.zeros(self.n_slots, np.float32)
+        valid[:self.n] = 1.0
+        self.valid = jnp.asarray(valid)
+
+    def _y_to_rank(self, y_renamed):
+        """y arrives in y-layout (block, sigma, lam); rank rho = lam*R+sigma
+        per block, so a per-block transpose restores rank order (free on
+        device)."""
+        cfg = self.wp.config
+        yb = y_renamed.reshape(self.wp.n_blocks, cfg.stripes, 128)
+        return yb.transpose(0, 2, 1).reshape(-1)
 
     def _step(self, x_renamed):
         y = self.op(x_renamed, renamed=True)
-        return (self.damping * y
+        return (self.damping * self._y_to_rank(y)
                 + (1.0 - self.damping) / self.n * self.valid)
 
     def run(self, iters: int = 20, x0: np.ndarray | None = None) -> np.ndarray:

@@ -56,7 +56,7 @@ def _route_x(idx, xt, cfg: SpmvConfig):
     """Shared per-tile gather pipeline: decode -> banked gather -> row
     crossbar.  ``xt`` is (B, 128, 128) transposed x-bank blocks; returns the
     (S, 128) routed x values in dest-slot layout."""
-    B, G = cfg.bank_blocks, cfg.groups
+    B, G = cfg.total_blocks, cfg.groups
     hT = idx & 0x7F
     bT = (idx >> 7) & 0x7
     srcT = (idx >> 10) & 0x7F
@@ -169,7 +169,7 @@ def _paged_kernel(part_ref, block_ref, first_ref, vals_ref, idxT_ref, xt_ref,
 
 def resident_bytes(cfg: SpmvConfig, n_blocks: int, n_parts: int) -> int:
     """VMEM footprint of the resident variant (XT + y + stream buffers)."""
-    xt = n_parts * cfg.bank_blocks * 128 * 128 * 4
+    xt = n_parts * cfg.total_blocks * 128 * 128 * 4
     y = n_blocks * cfg.sublanes * LANES * 4
     streams = 4 * cfg.sublanes * LANES * 4 * 2   # vals+idx, double-buffered
     return xt + y + streams
@@ -194,6 +194,11 @@ def _spmv_call(vals, idxT, part, block, first, last, x, *,
     # vector-loader analog: pre-transpose x into per-partition bank blocks
     # XT[p, b, l, h] = x[p*VB + (b*128 + h)*128 + l]
     XT = x_padded.reshape(n_parts, B, 128, LANES).transpose(0, 1, 3, 2)
+    if cfg.two_choice:
+        from ..formats.wavepack import bank_shift
+        rolled = [jnp.roll(XT[:, b], bank_shift(b), axis=1)
+                  for b in range(B)]
+        XT = jnp.concatenate([XT, jnp.stack(rolled, axis=1)], axis=1)
 
     if variant == "auto":
         variant = ("resident"
@@ -234,7 +239,7 @@ def _spmv_call(vals, idxT, part, block, first, last, x, *,
                 pl.BlockSpec((1, S, LANES),
                              lambda t, pr, br, fr: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B, 128, 128),
+                pl.BlockSpec((1, cfg.total_blocks, 128, 128),
                              lambda t, pr, br, fr: (pr[t], 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],

@@ -136,14 +136,19 @@ def test_native_matches_python_scheduler():
     order = np.lexsort((np.arange(n), addr, bank, stripe))
     stripe, lam, bank, addr = (stripe[order], lam[order], bank[order],
                                addr[order])
+    bank2 = ((bank + 31) % 128).astype(np.int32)
     seg_bounds = np.array([0, n // 2, n], np.int64)
-    kn = native.schedule_segments(seg_bounds, stripe, lam, bank, addr)
+    kn, cn = native.schedule_segments(seg_bounds, stripe, lam, bank, addr,
+                                      bank2)
     kp = np.empty(n, np.int64)
+    cp = np.zeros(n, np.uint8)
     for i in range(2):
         s, e = int(seg_bounds[i]), int(seg_bounds[i + 1])
-        kp[s:e] = wavepack._schedule(stripe[s:e], lam[s:e], bank[s:e],
-                                     addr[s:e])
+        kp[s:e], cp[s:e] = wavepack._schedule(stripe[s:e], lam[s:e],
+                                              bank[s:e], addr[s:e],
+                                              bank2[s:e])
     assert np.array_equal(kn, kp)
+    assert np.array_equal(cn, cp)
 
 
 def test_hub_split_roundtrip():
@@ -208,7 +213,8 @@ def test_scheduler_traffic_patterns():
         stripe = np.zeros(n, np.int32)
         addr = np.zeros(n, np.int32) if addr is None else addr
         order = np.lexsort((np.arange(n), addr, bank, stripe))
-        k = _schedule(stripe[order], lam[order], bank[order], addr[order])
+        k, _ch = _schedule(stripe[order], lam[order], bank[order],
+                           addr[order])
         waves = int(k.max()) + 1
         rows_max = np.bincount(lam, minlength=128).max()
         cols = np.unique(np.stack([bank, addr]), axis=1)
