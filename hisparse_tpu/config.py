@@ -60,6 +60,11 @@ class SpmvConfig:
         below the reference's 1e-4 test tolerance, sw/host.cpp:62).  When
         False the source lane travels in the index word and is transposed
         back in-kernel (exact; required for 'fixed').
+      semiring: accumulation algebra.  'plus_times' is SpMV; 'min_plus'
+        (tropical) drives SSSP/Bellman-Ford; 'max_times' over 0/1 weights is
+        boolean or-and for BFS frontiers.  The GraphLily lineage the
+        reference documents in its vestigial app tests
+        (unit_tests/test_app.cpp, test_module_spmv_spmspv.cpp).
       two_choice: power-of-two-choices banking — the x tile is additionally
         materialized with each 128-deep block rotated along banks by a
         per-block shift, giving every column a second candidate bank; the
@@ -75,6 +80,8 @@ class SpmvConfig:
     dtype: Literal["fp32", "fixed", "bf16"] = "fp32"
     steal_mantissa: bool = False
     two_choice: bool = True
+    semiring: Literal["plus_times", "min_plus", "max_times"] = "plus_times"
+    
 
     def __post_init__(self):
         if self.sublanes % LANES != 0:
@@ -88,6 +95,8 @@ class SpmvConfig:
                              "(3-bit block field)")
         if self.dtype == "fixed" and self.steal_mantissa:
             raise ValueError("fixed-point stream cannot steal mantissa bits")
+        if self.semiring != "plus_times" and self.dtype != "fp32":
+            raise ValueError("non-plus_times semirings need fp32")
 
     @property
     def total_blocks(self) -> int:

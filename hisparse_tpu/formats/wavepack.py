@@ -105,11 +105,19 @@ class Wavepack:
         return self.vals.nbytes + self.idxT.nbytes
 
     def unpack_y(self, y_renamed: np.ndarray) -> np.ndarray:
-        """Fold a renamed-space result back to original row order, summing
-        virtual-row partials (the combine step of hub splitting)."""
-        out = np.zeros(self.num_rows, y_renamed.dtype)
+        """Fold a renamed-space result back to original row order, combining
+        virtual-row partials with the semiring's additive op (the combine
+        step of hub splitting)."""
+        sr = self.config.semiring
+        init = {"plus_times": 0.0, "min_plus": np.inf,
+                "max_times": -np.inf}[sr]
+        ufunc = {"plus_times": np.add, "min_plus": np.minimum,
+                 "max_times": np.maximum}[sr]
+        out = np.full(self.num_rows, init, y_renamed.dtype)
         valid = self.perm < self.num_rows
-        np.add.at(out, self.perm[valid], y_renamed[valid])
+        ufunc.at(out, self.perm[valid], y_renamed[valid])
+        if sr == "max_times":
+            out = np.maximum(out, 0.0)   # empty rows -> 0
         return out
 
 
@@ -286,7 +294,8 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     G = cfg.groups
 
     if nnz_total == 0:
-        vals = np.zeros((1, S, LANES), val_dtype)
+        pad0 = np.inf if cfg.semiring == "min_plus" else 0
+        vals = np.full((1, S, LANES), pad0, val_dtype)
         idxT = np.zeros((1, S, LANES), np.int32)
         t_block_arr = np.zeros(1, np.int32)
         t_part_arr = np.zeros(1, np.int32)
@@ -325,7 +334,10 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
         t_glob = tile_off[seg_of_nz] + w // S
         s_loc = (w % S).astype(np.int64)
 
-        va = np.zeros((T_total, S, LANES), val_dtype)
+        pad_val = (np.float32(np.inf) if cfg.semiring == "min_plus"
+                   else val_dtype.type(0) if hasattr(val_dtype, "type")
+                   else np.float32(0))
+        va = np.full((T_total, S, LANES), pad_val, val_dtype)
         packed = np.zeros((T_total, S, LANES), np.int32)
         vals_sorted = m.data[order].astype(val_dtype)
         if cfg.two_choice:
@@ -389,7 +401,8 @@ def decode(wp: Wavepack) -> CSRMatrix:
         b = (packed >> 7) & 0x7
         src = (packed >> 10) & 0x7F
         v = wp.vals[t]
-        s_idx, lam_idx = np.nonzero(v != 0)
+        pad = np.inf if cfg.semiring == "min_plus" else 0
+        s_idx, lam_idx = np.nonzero(v != pad)
         jj = src[s_idx, lam_idx]
         bf = b[s_idx, jj]
         hh = h[s_idx, jj]

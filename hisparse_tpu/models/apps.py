@@ -102,3 +102,113 @@ def pagerank_reference(adj: CSRMatrix, iters: int = 20,
     for _ in range(iters):
         x = damping * (sp @ x) + (1 - damping) / n
     return x
+
+
+class SSSP:
+    """Single-source shortest paths by Bellman-Ford over the tropical
+    (min,+) semiring: d' = min(d, A_minplus @ d).  The SpMV-as-semiring app
+    tier of the GraphLily lineage (unit_tests/test_app.cpp)."""
+
+    def __init__(self, adj: CSRMatrix, config: SpmvConfig | None = None,
+                 interpret: bool = False):
+        import dataclasses as _dc
+        if adj.num_rows != adj.num_cols:
+            raise ValueError("SSSP needs a square weighted adjacency matrix")
+        cfg = config or SpmvConfig()
+        cfg = _dc.replace(cfg, semiring="min_plus", dtype="fp32")
+        self.n = adj.num_rows
+        # transpose so y[v] = min over in-edges (u,v): w(u,v) + d[u]
+        from ..formats.csr import csr_to_csc
+        at = csr_to_csc(adj.astype(np.float32))
+        order = argsort_rows_by_nnz(at, descending=True)
+        self.wp = pack(at, cfg, row_order=order, col_order=order)
+        self.op = SpmvOperator(self.wp, interpret=interpret)
+        self.order = order
+        self.inv = np.empty(self.n, np.int64)
+        self.inv[order] = np.arange(self.n)
+        self.n_slots = self.wp.n_blocks * cfg.rows_per_block
+
+    def _y_to_rank(self, y):
+        cfg = self.wp.config
+        yb = y.reshape(self.wp.n_blocks, cfg.stripes, 128)
+        return yb.transpose(0, 2, 1).reshape(-1)
+
+    def run(self, source: int, iters: int | None = None) -> np.ndarray:
+        iters = iters if iters is not None else self.n - 1
+        d = np.full(self.n_slots, np.inf, np.float32)
+        d[self.inv[source]] = 0.0
+        x = jnp.asarray(d)
+        fn = (jax.jit(self._step) if not self.op.interpret else self._step)
+        for _ in range(iters):
+            x = fn(x)
+        out = np.asarray(x)[self.inv]
+        return out
+
+    def _step(self, x):
+        y = self._y_to_rank(self.op(x, renamed=True))
+        return jnp.minimum(x, y)
+
+
+def sssp_reference(adj: CSRMatrix, source: int) -> np.ndarray:
+    import scipy.sparse.csgraph as csgraph
+    return csgraph.dijkstra(adj.to_scipy(), indices=source)
+
+
+class BFS:
+    """Breadth-first search by frontier iteration over max-times on 0/1
+    weights (boolean or-and): reached' = reached | (A^T and frontier)."""
+
+    def __init__(self, adj: CSRMatrix, config: SpmvConfig | None = None,
+                 interpret: bool = False):
+        import dataclasses as _dc
+        cfg = config or SpmvConfig()
+        cfg = _dc.replace(cfg, semiring="max_times", dtype="fp32")
+        self.n = adj.num_rows
+        from ..formats.csr import csr_to_csc
+        at = csr_to_csc(adj)
+        at = CSRMatrix(at.num_rows, at.num_cols,
+                       np.ones(at.nnz, np.float32), at.indices, at.indptr)
+        order = argsort_rows_by_nnz(at, descending=True)
+        self.wp = pack(at, cfg, row_order=order, col_order=order)
+        self.op = SpmvOperator(self.wp, interpret=interpret)
+        self.inv = np.empty(self.n, np.int64)
+        self.inv[order] = np.arange(self.n)
+        self.n_slots = self.wp.n_blocks * cfg.rows_per_block
+
+    def _y_to_rank(self, y):
+        cfg = self.wp.config
+        yb = y.reshape(self.wp.n_blocks, cfg.stripes, 128)
+        return yb.transpose(0, 2, 1).reshape(-1)
+
+    def run(self, source: int, max_iters: int | None = None) -> np.ndarray:
+        """Returns BFS level per node (-1 = unreachable)."""
+        max_iters = max_iters if max_iters is not None else self.n
+        level = np.full(self.n, -1, np.int64)
+        level[source] = 0
+        frontier = np.zeros(self.n_slots, np.float32)
+        frontier[self.inv[source]] = 1.0
+        reached = frontier.copy()
+        x = jnp.asarray(frontier)
+        reached_j = jnp.asarray(reached)
+        fn = (jax.jit(self._step) if not self.op.interpret else self._step)
+        for it in range(1, max_iters + 1):
+            x, reached_j, newly = fn(x, reached_j)
+            new_np = np.asarray(newly)
+            if not new_np.any():
+                break
+            level[self._rank_to_orig(np.nonzero(new_np > 0)[0])] = it
+        return level
+
+    def _rank_to_orig(self, ranks):
+        order = np.empty(self.n_slots, np.int64)
+        order.fill(-1)
+        order[self.inv] = np.arange(self.n)
+        ids = order[ranks]
+        return ids[ids >= 0]
+
+    def _step(self, frontier, reached):
+        y = self._y_to_rank(self.op(frontier, renamed=True))
+        y = jnp.where(y > 0, 1.0, 0.0)
+        newly = jnp.maximum(y - reached, 0.0)
+        reached2 = jnp.maximum(reached, y)
+        return newly, reached2, newly

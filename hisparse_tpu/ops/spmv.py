@@ -120,12 +120,24 @@ def fixed_sat_sum(x, axis):
     return acc
 
 
+def _acc_init(cfg: SpmvConfig, like):
+    if cfg.semiring == "min_plus":
+        return jnp.full_like(like, jnp.inf)
+    if cfg.semiring == "max_times":
+        return jnp.full_like(like, -jnp.inf)
+    return jnp.zeros_like(like)
+
+
 def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig):
     if cfg.dtype == "fixed":
         xi = _route_x(idx, pltpu_bitcast_i32(xt), cfg)
         routed = pltpu_bitcast_u32(xi)
         return _fixed_madd(acc, vals, routed)
     routed = _route_x(idx, xt, cfg)
+    if cfg.semiring == "min_plus":
+        return jnp.minimum(acc, vals + routed)
+    if cfg.semiring == "max_times":
+        return jnp.maximum(acc, vals * routed)
     return acc + vals * routed
 
 
@@ -144,7 +156,7 @@ def _resident_kernel(part_ref, block_ref, vals_ref, idxT_ref, xt_ref,
 
     @pl.when(t == 0)
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[:] = _acc_init(cfg, out_ref)
 
     pid = part_ref[t]
     bid = block_ref[t]
@@ -161,7 +173,7 @@ def _paged_kernel(part_ref, block_ref, first_ref, vals_ref, idxT_ref, xt_ref,
 
     @pl.when(first_ref[t] == 1)
     def _():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+        out_ref[0] = _acc_init(cfg, out_ref[0])
 
     out_ref[0] = _tile_body(vals_ref[0], idxT_ref[0], xt_ref[0], out_ref[0],
                             cfg)
@@ -225,9 +237,7 @@ def _spmv_call(vals, idxT, part, block, first, last, x, *,
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
         )(part, block, vals, idxT, XT)
-        folded = out.reshape(n_blocks, S // R, R, LANES)
-        y_blocks = (fixed_sat_sum(folded, 1) if cfg.dtype == "fixed"
-                    else folded.sum(axis=1))
+        y_blocks = _stripe_fold(out.reshape(n_blocks, S // R, R, LANES), cfg)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -255,10 +265,18 @@ def _spmv_call(vals, idxT, part, block, first, last, x, *,
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
         )(part, block, first, vals, idxT, XT)
-        folded = out.reshape(n_blocks, S // R, R, LANES)
-        y_blocks = (fixed_sat_sum(folded, 1) if cfg.dtype == "fixed"
-                    else folded.sum(axis=1))
+        y_blocks = _stripe_fold(out.reshape(n_blocks, S // R, R, LANES), cfg)
     return y_blocks
+
+
+def _stripe_fold(folded, cfg: SpmvConfig):
+    if cfg.dtype == "fixed":
+        return fixed_sat_sum(folded, 1)
+    if cfg.semiring == "min_plus":
+        return folded.min(axis=1)
+    if cfg.semiring == "max_times":
+        return folded.max(axis=1)
+    return folded.sum(axis=1)
 
 
 class SpmvOperator:

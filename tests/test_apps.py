@@ -14,3 +14,43 @@ def test_pagerank_matches_reference():
     ref = pagerank_reference(m, iters=8)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-7)
     assert abs(got.sum() - ref.sum()) < 1e-3
+
+
+def test_sssp_matches_dijkstra():
+    import scipy.sparse as sp
+    from hisparse_tpu.models.apps import SSSP, sssp_reference
+    from hisparse_tpu import CSRMatrix
+    rng = np.random.default_rng(4)
+    n = 150
+    dense = rng.random((n, n))
+    mask = rng.random((n, n)) < 0.05
+    np.fill_diagonal(mask, False)
+    w = np.where(mask, dense + 0.1, 0.0).astype(np.float32)
+    m = CSRMatrix.from_scipy(sp.csr_matrix(w))
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128)
+    s = SSSP(m, cfg, interpret=True)
+    got = s.run(source=3, iters=25)
+    ref = sssp_reference(m, 3)
+    both_inf = np.isinf(got) & np.isinf(ref)
+    np.testing.assert_allclose(got[~both_inf], ref[~both_inf], rtol=1e-4,
+                               atol=1e-5)
+    assert (np.isinf(got) == np.isinf(ref)).all()
+
+
+def test_bfs_levels():
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csgraph
+    from hisparse_tpu.models.apps import BFS
+    from hisparse_tpu import CSRMatrix
+    rng = np.random.default_rng(5)
+    n = 120
+    mask = (rng.random((n, n)) < 0.04)
+    np.fill_diagonal(mask, False)
+    m = CSRMatrix.from_scipy(sp.csr_matrix(mask.astype(np.float32)))
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128)
+    b = BFS(m, cfg, interpret=True)
+    got = b.run(source=0, max_iters=30)
+    ref = csgraph.shortest_path(m.to_scipy(), method="D", unweighted=True,
+                                indices=0)
+    ref_lvl = np.where(np.isinf(ref), -1, ref).astype(np.int64)
+    np.testing.assert_array_equal(got, ref_lvl)

@@ -1,0 +1,40 @@
+"""Dense/MXU path tests (the pruned-NN regime + SpMM batch config)."""
+import numpy as np
+
+from hisparse_tpu import uniform_sparse_csr
+from hisparse_tpu.ops.dense import DenseOperator, SpmmOperator, choose_format
+from hisparse_tpu.ops.golden import spmv_f64
+
+
+def test_dense_matvec():
+    m = uniform_sparse_csr(200, 300, 30, seed=1)
+    op = DenseOperator(m, dtype="fp32")
+    x = np.random.default_rng(0).random(300).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(op(x)), spmv_f64(m, x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_dense_bf16_tolerance():
+    m = uniform_sparse_csr(100, 200, 20, seed=2)
+    op = DenseOperator(m, dtype="bf16")
+    x = np.random.default_rng(1).random(200).astype(np.float32)
+    ref = spmv_f64(m, x)
+    # bf16 inputs, fp32 accumulate: ~8-bit mantissa inputs
+    np.testing.assert_allclose(np.asarray(op(x)), ref, rtol=3e-2,
+                               atol=3e-2 * abs(ref).max())
+
+
+def test_spmm_batch():
+    m = uniform_sparse_csr(150, 250, 25, seed=3)
+    op = SpmmOperator(m, dtype="fp32")
+    X = np.random.default_rng(2).random((250, 64)).astype(np.float32)
+    Y = np.asarray(op(X))
+    ref = np.stack([spmv_f64(m, X[:, k]) for k in range(64)], axis=1)
+    np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4 * abs(ref).max())
+
+
+def test_choose_format():
+    dense_m = uniform_sparse_csr(64, 64, 32, seed=4)   # 50% dense
+    sparse_m = uniform_sparse_csr(1000, 10000, 5, seed=5)
+    assert choose_format(dense_m) == "dense"
+    assert choose_format(sparse_m) == "wavepack"
