@@ -7,10 +7,13 @@
 // thread).  The algorithm is byte-identical to the Python reference
 // implementation so tests can compare outputs exactly:
 //
-//   per (block, part) segment, per stripe: greedy per-wave maximal matching
-//   between pending *columns* (dedup'd gather slots) and free banks,
-//   visiting columns by remaining-rows descending (stable), placing every
-//   still-free row lane of the visited column.
+//   per (block, part) segment, per stripe: greedy per-wave matching between
+//   pending *columns* (dedup'd gather slots, two candidate banks each) and
+//   free banks, visiting columns by remaining-rows descending, placing
+//   every still-free row lane of the visited column.  The wave ends as soon
+//   as all 128 row lanes or all 128 banks are consumed; the visit order is
+//   maintained incrementally (modified items re-merged) instead of
+//   re-sorted, keeping the pass near-linear.
 //
 // Build: g++ -O2 -shared -fPIC -o _scheduler.so _scheduler.cpp
 #include <cstdint>
@@ -39,7 +42,7 @@ extern "C" void wp_schedule_segments(
     int64_t* k_of, uint8_t* choice) {
   std::vector<int64_t> store;      // nz indices per item, CSR order
   std::vector<Item> items;
-  std::vector<Item*> pending, next_pending;
+  std::vector<Item*> pending, keep, modified, merged;
   std::vector<uint8_t> alive;
 
   for (int64_t seg = 0; seg < n_segs; ++seg) {
@@ -74,25 +77,31 @@ extern "C" void wp_schedule_segments(
 
       pending.clear();
       for (auto& it : items) pending.push_back(&it);
+      std::stable_sort(pending.begin(), pending.end(),
+                       [](const Item* x, const Item* y) {
+                         return x->remaining > y->remaining;
+                       });
 
       int64_t k = 0;
       bool used_banks[128], used_rows[128];
       while (!pending.empty()) {
-        std::stable_sort(pending.begin(), pending.end(),
-                         [](const Item* x, const Item* y) {
-                           return x->remaining > y->remaining;
-                         });
         std::memset(used_banks, 0, sizeof used_banks);
         std::memset(used_rows, 0, sizeof used_rows);
-        next_pending.clear();
-        for (Item* it : pending) {
-          int32_t lane; uint8_t ch;
+        int rows_used = 0, banks_used = 0;
+        keep.clear();
+        modified.clear();
+        size_t idx = 0;
+        for (; idx < pending.size(); ++idx) {
+          if (rows_used == 128 || banks_used == 128) break;
+          Item* it = pending[idx];
+          int32_t lane;
+          uint8_t ch;
           if (!used_banks[it->bank]) {
             lane = it->bank; ch = 0;
           } else if (!used_banks[it->bank2]) {
             lane = it->bank2; ch = 1;
           } else {
-            next_pending.push_back(it);
+            keep.push_back(it);
             continue;
           }
           int32_t placed = 0;
@@ -113,10 +122,34 @@ extern "C" void wp_schedule_segments(
           }
           it->remaining -= placed;
           if (first_alive >= 0) it->alive0 = first_alive;
-          if (placed) used_banks[lane] = true;
-          if (it->remaining) next_pending.push_back(it);
+          if (placed) {
+            used_banks[lane] = true;
+            ++banks_used;
+            rows_used += placed;
+            if (it->remaining) modified.push_back(it);
+          } else if (it->remaining) {
+            keep.push_back(it);
+          }
         }
-        pending.swap(next_pending);
+        for (; idx < pending.size(); ++idx) keep.push_back(pending[idx]);
+        // modified carry reduced counts; restore descending order by a
+        // stable merge (keep-items precede modified on ties)
+        std::stable_sort(modified.begin(), modified.end(),
+                         [](const Item* x, const Item* y) {
+                           return x->remaining > y->remaining;
+                         });
+        merged.clear();
+        merged.reserve(keep.size() + modified.size());
+        size_t a_ = 0, b_ = 0;
+        while (a_ < keep.size() && b_ < modified.size()) {
+          if (keep[a_]->remaining >= modified[b_]->remaining)
+            merged.push_back(keep[a_++]);
+          else
+            merged.push_back(modified[b_++]);
+        }
+        while (a_ < keep.size()) merged.push_back(keep[a_++]);
+        while (b_ < modified.size()) merged.push_back(modified[b_++]);
+        pending.swap(merged);
         ++k;
       }
       i = send;

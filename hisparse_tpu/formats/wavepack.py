@@ -183,20 +183,25 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
                    for key, v in items.items()]
         for ent in pending:
             ent[3].reverse()   # pop() yields CSR order
+        pending.sort(key=lambda e: -e[0])
         k = 0
         while pending:
-            pending.sort(key=lambda e: -e[0])
             used_banks = bytearray(LANES)
             used_rows = bytearray(LANES)
-            new_pending = []
-            for ent in pending:
+            rows_used = banks_used = 0
+            keep, modified = [], []
+            idx2 = 0
+            for idx2, ent in enumerate(pending):
+                if rows_used == LANES or banks_used == LANES:
+                    idx2 -= 1
+                    break
                 cnt, bk1, bk2, q = ent
                 if not used_banks[bk1]:
                     bk_, ch = bk1, 0
                 elif not used_banks[bk2]:
                     bk_, ch = bk2, 1
                 else:
-                    new_pending.append(ent)
+                    keep.append(ent)
                     continue
                 placed = 0
                 kept = []
@@ -214,10 +219,26 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
                 q.extend(kept)
                 if placed:
                     used_banks[bk_] = 1
-                if q:
+                    banks_used += 1
+                    rows_used += placed
                     ent[0] = len(q)
-                    new_pending.append(ent)
-            pending = new_pending
+                    if q:
+                        modified.append(ent)
+                elif q:
+                    keep.append(ent)
+            keep.extend(pending[idx2 + 1:])
+            modified.sort(key=lambda e: -e[0])
+            # stable merge, keep-items precede modified on ties
+            merged = []
+            a_ = b_ = 0
+            while a_ < len(keep) and b_ < len(modified):
+                if keep[a_][0] >= modified[b_][0]:
+                    merged.append(keep[a_]); a_ += 1
+                else:
+                    merged.append(modified[b_]); b_ += 1
+            merged.extend(keep[a_:])
+            merged.extend(modified[b_:])
+            pending = merged
             k += 1
     return k_of, choice
 
@@ -284,8 +305,11 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     c_in = col_all % VB
     bank_all = (c_in % LANES).astype(np.int32)      # gather lane j
     a_all = (c_in // LANES).astype(np.int32)        # in-bank address
-    blk_of_nz = (rho_all // RPB).astype(np.int32)   # row block
-    rho_loc = rho_all % RPB
+    # rows dealt round-robin across blocks as well, so every block sees the
+    # same nnz mix (the reference's cyclic channel assignment,
+    # data_formatter.h:410, for the same reason)
+    blk_of_nz = (rho_all % n_blocks).astype(np.int32)
+    rho_loc = rho_all // n_blocks
     # round-robin stripe deal: consecutive (nnz-sorted) renamed rows go to
     # different stripes, balancing per-stripe wave demand
     sigma_all = (rho_loc % R).astype(np.int32)
@@ -367,13 +391,15 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     perm_orig = np.where(perm < m.num_rows,
                          row_map[np.minimum(perm, max(m.num_rows - 1, 0))],
                          orig_num_rows)
-    # re-store in y-layout: y slot (block, sigma, lam) holds renamed row
-    # rho = block*RPB + lam*R + sigma
-    rho_local = np.arange(RPB)
-    ypos = (rho_local % R) * LANES + rho_local // R
+    # re-store in y-layout: rank rho sits at y slot
+    # (block = rho % n_blocks, sigma = (rho//n_blocks) % R,
+    #  lam = (rho//n_blocks) // R)
+    ranks = np.arange(n_blocks * RPB)
+    bk_r = ranks % n_blocks
+    loc_r = ranks // n_blocks
+    yslot = bk_r * RPB + (loc_r % R) * LANES + loc_r // R
     perm_y = np.empty_like(perm_orig)
-    for bk in range(n_blocks):
-        perm_y[bk * RPB + ypos] = perm_orig[bk * RPB + rho_local]
+    perm_y[yslot] = perm_orig[ranks]
     perm_orig = perm_y
     return Wavepack(cfg, orig_num_rows, m.num_cols, n_blocks, n_parts,
                     perm_orig, vals, idxT, t_part_arr, t_block_arr, first,

@@ -18,6 +18,16 @@ import numpy as np
 from ..config import SpmvConfig
 from ..formats.csr import CSRMatrix, argsort_rows_by_nnz, normalize_by_outdegree
 from ..formats.wavepack import pack
+
+
+def y_to_rank(wp, y_renamed):
+    """Transpose a y-layout result into rank layout (free on device):
+    rank rho lives at y slot (rho % n_blocks, (rho//n_blocks) % R,
+    (rho//n_blocks) // R), so rank order = transpose to (lam, sigma, block)
+    then flatten."""
+    cfg = wp.config
+    yb = y_renamed.reshape(wp.n_blocks, cfg.stripes, 128)
+    return yb.transpose(2, 1, 0).reshape(-1)
 from ..ops.spmv import SpmvOperator, _spmv_call
 
 
@@ -52,12 +62,7 @@ class PageRank:
         self.valid = jnp.asarray(valid)
 
     def _y_to_rank(self, y_renamed):
-        """y arrives in y-layout (block, sigma, lam); rank rho = lam*R+sigma
-        per block, so a per-block transpose restores rank order (free on
-        device)."""
-        cfg = self.wp.config
-        yb = y_renamed.reshape(self.wp.n_blocks, cfg.stripes, 128)
-        return yb.transpose(0, 2, 1).reshape(-1)
+        return y_to_rank(self.wp, y_renamed)
 
     def _step(self, x_renamed):
         y = self.op(x_renamed, renamed=True)
@@ -129,9 +134,7 @@ class SSSP:
         self.n_slots = self.wp.n_blocks * cfg.rows_per_block
 
     def _y_to_rank(self, y):
-        cfg = self.wp.config
-        yb = y.reshape(self.wp.n_blocks, cfg.stripes, 128)
-        return yb.transpose(0, 2, 1).reshape(-1)
+        return y_to_rank(self.wp, y)
 
     def run(self, source: int, iters: int | None = None) -> np.ndarray:
         iters = iters if iters is not None else self.n - 1
@@ -176,9 +179,7 @@ class BFS:
         self.n_slots = self.wp.n_blocks * cfg.rows_per_block
 
     def _y_to_rank(self, y):
-        cfg = self.wp.config
-        yb = y.reshape(self.wp.n_blocks, cfg.stripes, 128)
-        return yb.transpose(0, 2, 1).reshape(-1)
+        return y_to_rank(self.wp, y)
 
     def run(self, source: int, max_iters: int | None = None) -> np.ndarray:
         """Returns BFS level per node (-1 = unreachable)."""
