@@ -88,11 +88,11 @@ class SpmvConfig:
             raise ValueError(f"sublanes must be a multiple of {LANES}")
         if self.sublanes % self.stripes != 0:
             raise ValueError("stripes must divide sublanes")
-        if self.bank_blocks < 1 or self.bank_blocks > 8:
-            raise ValueError("bank_blocks must be in [1, 8]")
-        if self.two_choice and self.bank_blocks > 4:
-            raise ValueError("two_choice needs bank_blocks <= 4 "
-                             "(3-bit block field)")
+        if self.bank_blocks < 1 or self.bank_blocks > 16:
+            raise ValueError("bank_blocks must be in [1, 16]")
+        if self.two_choice and self.bank_blocks > 8:
+            raise ValueError("two_choice needs bank_blocks <= 8 "
+                             "(4-bit block field)")
         if self.dtype == "fixed" and self.steal_mantissa:
             raise ValueError("fixed-point stream cannot steal mantissa bits")
         if self.semiring != "plus_times" and self.dtype != "fp32":

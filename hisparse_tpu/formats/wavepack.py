@@ -44,7 +44,7 @@ Stream encoding per tile:
   * ``vals``  (S,128) value dtype, at DEST slots (multiply happens after the
     row-crossbar).  Padding slots hold 0.
   * ``idxT``  (S,128) int32, holding for slot (s,j) the packed fields
-    ``src(7) << 10 | b(3) << 7 | h(7)`` **stored at the per-group transposed
+    ``src(7) << 11 | b(4) << 7 | h(7)`` **stored at the per-group transposed
     position** (g*128 + j, s mod 128 ...) so the kernel's gathers consume
     them without an extra transpose.  ``h``/``b`` describe the slot's
     gather role; ``src`` describes its dest role (which gather lane feeds
@@ -372,7 +372,7 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
             bfield = (ao // 128).astype(np.int32)
         # gather-role fields at (t, s, gather lane); dest-role at (t, s, row lane)
         packed[t_glob, s_loc, lane_used] |= (bfield << 7) | (ao % 128)
-        packed[t_glob, s_loc, lo] |= lane_used << 10
+        packed[t_glob, s_loc, lo] |= lane_used << 11
         va[t_glob, s_loc, lo] = vals_sorted
         idxT = (packed.reshape(T_total, G, 128, 128)
                 .swapaxes(2, 3).reshape(T_total, S, LANES).copy())
@@ -424,8 +424,8 @@ def decode(wp: Wavepack) -> CSRMatrix:
         packed = (wp.idxT[t].reshape(G, 128, 128)
                   .swapaxes(1, 2).reshape(S, LANES).astype(np.int64))
         h = packed & 0x7F
-        b = (packed >> 7) & 0x7
-        src = (packed >> 10) & 0x7F
+        b = (packed >> 7) & 0xF
+        src = (packed >> 11) & 0x7F
         v = wp.vals[t]
         pad = np.inf if cfg.semiring == "min_plus" else 0
         s_idx, lam_idx = np.nonzero(v != pad)

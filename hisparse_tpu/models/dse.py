@@ -38,12 +38,14 @@ class DsePoint:
 
 def default_grid():
     pts = []
-    for S, B, R, split in itertools.product(
-            (256, 512), (1, 2, 4), (4, 64, 128, 256, 512), (None, 256, 1024)):
+    for S, B, R, tc, split in itertools.product(
+            (256, 512), (1, 2, 4, 8), (4, 64, 256, 512),
+            (False, True), (None, "auto")):
         if R > S:
             continue
         try:
-            cfg = SpmvConfig(sublanes=S, bank_blocks=B, stripes=R)
+            cfg = SpmvConfig(sublanes=S, bank_blocks=B, stripes=R,
+                             two_choice=tc)
         except ValueError:
             continue
         pts.append((cfg, split))

@@ -31,9 +31,9 @@ from ..formats.csr import CSRMatrix
 from ..formats.wavepack import Wavepack
 from ..ops.spmv import resident_bytes, _RESIDENT_VMEM_BUDGET
 
-# measured sustained slot rates (Gslot/s) on TPU v5e by bank_blocks count
+# measured sustained slot rates (Gslot/s) on TPU v5e by gather-block count
 # (scripts/tpu_bench1.py); linear interpolation elsewhere.
-SLOT_RATE_GSLOTS = {1: 55.0, 2: 45.0, 4: 34.0}
+SLOT_RATE_GSLOTS = {1: 55.0, 2: 45.0, 4: 34.0, 8: 24.0, 16: 15.0}
 
 
 def slot_rate(bank_blocks: int) -> float:
@@ -93,7 +93,7 @@ def estimate(m: CSRMatrix, cfg: SpmvConfig, wp: Wavepack,
     alpha = schedule_alpha(m, cfg, wp)
 
     tm = wp.stream_bytes / (hbm_gbps * 1e9)
-    tc = slots / (slot_rate(cfg.bank_blocks) * 1e9)
+    tc = slots / (slot_rate(cfg.total_blocks) * 1e9)
     resident = (resident_bytes(cfg, wp.n_blocks, wp.n_parts)
                 <= _RESIDENT_VMEM_BUDGET)
     x_bytes = wp.n_parts * cfg.vb_cols * 4 * (1 if resident else wp.n_blocks)

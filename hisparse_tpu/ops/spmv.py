@@ -58,8 +58,8 @@ def _route_x(idx, xt, cfg: SpmvConfig):
     (S, 128) routed x values in dest-slot layout."""
     B, G = cfg.total_blocks, cfg.groups
     hT = idx & 0x7F
-    bT = (idx >> 7) & 0x7
-    srcT = (idx >> 10) & 0x7F
+    bT = (idx >> 7) & 0xF
+    srcT = (idx >> 11) & 0x7F
     gx_groups, src_groups = [], []
     for g in range(G):
         sl = slice(g * 128, (g + 1) * 128)

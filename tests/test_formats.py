@@ -107,8 +107,8 @@ def test_schedule_constraints():
     for t in range(wp.num_tiles):
         packed = (wp.idxT[t].reshape(G, 128, 128).swapaxes(1, 2)
                   .reshape(cfg.sublanes, 128))
-        src = packed >> 10
-        bh = packed & 0x3FF
+        src = packed >> 11
+        bh = packed & 0x7FF
         v = wp.vals[t]
         for s in range(cfg.sublanes):
             lanes = np.nonzero(v[s] != 0)[0]
@@ -117,7 +117,7 @@ def test_schedule_constraints():
             srcs = src[s, lanes]
             # all dest slots pulling from the same gather lane read the same
             # (b,h) there, i.e. one column per gather slot per wave
-            cols = bh[s, srcs] * 128 + srcs
+            cols = bh[s, srcs].astype(np.int64) * 128 + srcs
             pairs = set(zip(srcs.tolist(), cols.tolist()))
             assert len(pairs) == len(np.unique(srcs))
 
