@@ -97,6 +97,8 @@ class SpmvConfig:
             raise ValueError("fixed-point stream cannot steal mantissa bits")
         if self.semiring != "plus_times" and self.dtype != "fp32":
             raise ValueError("non-plus_times semirings need fp32")
+        if self.steal_mantissa and self.semiring == "min_plus":
+            raise ValueError("steal_mantissa breaks inf padding (min_plus)")
 
     @property
     def total_blocks(self) -> int:

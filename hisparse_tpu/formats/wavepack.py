@@ -372,8 +372,15 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
             bfield = (ao // 128).astype(np.int32)
         # gather-role fields at (t, s, gather lane); dest-role at (t, s, row lane)
         packed[t_glob, s_loc, lane_used] |= (bfield << 7) | (ao % 128)
-        packed[t_glob, s_loc, lo] |= lane_used << 11
-        va[t_glob, s_loc, lo] = vals_sorted
+        if cfg.steal_mantissa:
+            # src lane rides in the 7 low mantissa bits of the value
+            vbits = vals_sorted.view(np.uint32)
+            va[t_glob, s_loc, lo] = ((vbits & np.uint32(0xFFFFFF80))
+                                     | lane_used.astype(np.uint32)
+                                     ).view(np.float32)
+        else:
+            packed[t_glob, s_loc, lo] |= lane_used << 11
+            va[t_glob, s_loc, lo] = vals_sorted
         idxT = (packed.reshape(T_total, G, 128, 128)
                 .swapaxes(2, 3).reshape(T_total, S, LANES).copy())
         vals = va
@@ -425,8 +432,17 @@ def decode(wp: Wavepack) -> CSRMatrix:
                   .swapaxes(1, 2).reshape(S, LANES).astype(np.int64))
         h = packed & 0x7F
         b = (packed >> 7) & 0xF
-        src = (packed >> 11) & 0x7F
         v = wp.vals[t]
+        if cfg.steal_mantissa:
+            vbits = v.view(np.uint32)
+            src = np.broadcast_to((vbits & 0x7F).astype(np.int64),
+                                  packed.shape).copy()
+            v = (vbits & np.uint32(0xFFFFFF80)).view(np.float32)
+            # dest-layout src: index directly by dest slot below
+            src_by_dest = True
+        else:
+            src = (packed >> 11) & 0x7F
+            src_by_dest = False
         pad = np.inf if cfg.semiring == "min_plus" else 0
         s_idx, lam_idx = np.nonzero(v != pad)
         jj = src[s_idx, lam_idx]

@@ -52,15 +52,18 @@ from ..formats.wavepack import Wavepack
 _RESIDENT_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _route_x(idx, xt, cfg: SpmvConfig):
+def _route_x(idx, xt, cfg: SpmvConfig, src_dest=None):
     """Shared per-tile gather pipeline: decode -> banked gather -> row
     crossbar.  ``xt`` is (B, 128, 128) transposed x-bank blocks; returns the
-    (S, 128) routed x values in dest-slot layout."""
+    (S, 128) routed x values in dest-slot layout.  ``src_dest`` carries the
+    crossbar map already in dest layout (steal_mantissa fast path); else it
+    is decoded from the transposed index word and transposed back."""
     B, G = cfg.total_blocks, cfg.groups
     hT = idx & 0x7F
     bT = (idx >> 7) & 0xF
-    srcT = (idx >> 11) & 0x7F
     gx_groups, src_groups = [], []
+    if src_dest is None:
+        srcT = (idx >> 11) & 0x7F
     for g in range(G):
         sl = slice(g * 128, (g + 1) * 128)
         hg = hT[sl]
@@ -69,10 +72,13 @@ def _route_x(idx, xt, cfg: SpmvConfig):
             eb = jnp.take_along_axis(xt[b], hg, axis=1)
             e = jnp.where(bT[sl] == b, eb, e)
         gx_groups.append(e.T)
-        src_groups.append(srcT[sl].T)
+        if src_dest is None:
+            src_groups.append(srcT[sl].T)
     gx = jnp.concatenate(gx_groups, axis=0) if G > 1 else gx_groups[0]
-    src = jnp.concatenate(src_groups, axis=0) if G > 1 else src_groups[0]
-    return jnp.take_along_axis(gx, src, axis=1)
+    if src_dest is None:
+        src_dest = (jnp.concatenate(src_groups, axis=0) if G > 1
+                    else src_groups[0])
+    return jnp.take_along_axis(gx, src_dest, axis=1)
 
 
 def _fixed_madd(acc, a, b):
@@ -133,7 +139,14 @@ def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig):
         xi = _route_x(idx, pltpu_bitcast_i32(xt), cfg)
         routed = pltpu_bitcast_u32(xi)
         return _fixed_madd(acc, vals, routed)
-    routed = _route_x(idx, xt, cfg)
+    if cfg.steal_mantissa:
+        vbits = pltpu_bitcast_i32(vals)
+        src_dest = vbits & 0x7F
+        vals = jax.lax.bitcast_convert_type(vbits & jnp.int32(-128),
+                                            jnp.float32)
+        routed = _route_x(idx, xt, cfg, src_dest)
+    else:
+        routed = _route_x(idx, xt, cfg)
     if cfg.semiring == "min_plus":
         return jnp.minimum(acc, vals + routed)
     if cfg.semiring == "max_times":

@@ -85,3 +85,12 @@ def test_split_hub_end_to_end():
     ref = spmv_f64(m, x)
     scale = max(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(y, ref, atol=1e-4 * scale, rtol=1e-4)
+
+
+def test_steal_mantissa_path():
+    """Fast path: crossbar src lane in the values' low mantissa bits
+    (<=2^-17 relative value perturbation, well inside 1e-4)."""
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128,
+                     steal_mantissa=True)
+    m = powerlaw_csr(400, 500, 7, seed=9)
+    check(m, cfg, seed=9, tol=1e-4)
