@@ -65,6 +65,14 @@ class SpmvConfig:
         boolean or-and for BFS frontiers.  The GraphLily lineage the
         reference documents in its vestigial app tests
         (unit_tests/test_app.cpp, test_module_spmv_spmspv.cpp).
+      block_major: every 128-wave group of a tile serves a small set of
+        x-blocks ("classes") chosen per group by the packer and shipped as
+        a class map, so the kernel does classes_per_group gathers per group
+        regardless of bank_blocks — block count stops costing compute.
+        Needs stripes % 128 == 0.
+      classes_per_group: k, how many classes one group serves (k gathers +
+        k-1 selects per group).  k=1 is pure block-major (starves thin
+        stripes); k=4 balances compute vs schedule density.
       two_choice: power-of-two-choices banking — the x tile is additionally
         materialized with each 128-deep block rotated along banks by a
         per-block shift, giving every column a second candidate bank; the
@@ -81,6 +89,8 @@ class SpmvConfig:
     steal_mantissa: bool = False
     two_choice: bool = True
     semiring: Literal["plus_times", "min_plus", "max_times"] = "plus_times"
+    block_major: bool = False
+    classes_per_group: int = 4
     
 
     def __post_init__(self):
@@ -90,15 +100,20 @@ class SpmvConfig:
             raise ValueError("stripes must divide sublanes")
         if self.bank_blocks < 1 or self.bank_blocks > 16:
             raise ValueError("bank_blocks must be in [1, 16]")
-        if self.two_choice and self.bank_blocks > 8:
+        if (self.two_choice and self.bank_blocks > 8
+                and not self.block_major):
             raise ValueError("two_choice needs bank_blocks <= 8 "
-                             "(4-bit block field)")
+                             "(4-bit block field) unless block_major")
         if self.dtype == "fixed" and self.steal_mantissa:
             raise ValueError("fixed-point stream cannot steal mantissa bits")
         if self.semiring != "plus_times" and self.dtype != "fp32":
             raise ValueError("non-plus_times semirings need fp32")
         if self.steal_mantissa and self.semiring == "min_plus":
             raise ValueError("steal_mantissa breaks inf padding (min_plus)")
+        if self.block_major and self.stripes % 128 != 0:
+            raise ValueError("block_major needs stripes % 128 == 0")
+        if self.block_major and self.classes_per_group not in (1, 2, 4, 8):
+            raise ValueError("classes_per_group must be 1, 2, 4 or 8")
 
     @property
     def total_blocks(self) -> int:

@@ -156,3 +156,199 @@ extern "C" void wp_schedule_segments(
     }
   }
 }
+
+// ---------------------------------------------------------------------------
+// Block-major (class-group) scheduler — C++ twin of
+// wavepack._schedule_block_major.  Same greedy, same tie-breaking, same
+// incremental-merge order maintenance; outputs must match the Python twin
+// exactly (tests compare them).
+// ---------------------------------------------------------------------------
+namespace {
+
+struct BmItem {
+  int32_t remaining;
+  int32_t j1, j2, c1, c2;
+  int32_t head, count, alive0;
+  int64_t stamp;
+};
+
+}  // namespace
+
+extern "C" int64_t wp_schedule_bm(
+    int64_t n,
+    const int32_t* sigma, const int32_t* lam, const int32_t* bank,
+    const int32_t* h, const int32_t* cls, const int32_t* cls2,
+    const int32_t* bank2,
+    int32_t R, int32_t S, int32_t CT, int32_t K,
+    const int64_t* order,            // lexsort((pos, h, bank, cls, sigma))
+    int64_t* t_of, int64_t* s_of, int32_t* lane_of, int32_t* bsel_of,
+    uint8_t* choice_of,
+    int32_t* class_map, int64_t cap_tiles) {
+  const int32_t G = S / 128;
+  const int32_t Rp = R / 128;
+  std::vector<int64_t> store;
+  std::vector<BmItem> items;
+  std::vector<uint8_t> alive;
+  std::vector<std::vector<BmItem*>> pend((size_t)R * CT);
+  std::vector<int64_t> counters((size_t)R * CT, 0);
+
+  // build items from sorted runs of (sigma, cls, bank, h)
+  int64_t i = 0;
+  int64_t total = 0;
+  while (i < n) {
+    int64_t nz0 = order[i];
+    int32_t sg = sigma[nz0], c1 = cls[nz0], b1 = bank[nz0], hh = h[nz0];
+    BmItem it;
+    it.j1 = b1; it.j2 = bank2[nz0]; it.c1 = c1; it.c2 = cls2[nz0];
+    it.head = (int32_t)store.size();
+    int64_t j = i;
+    while (j < n) {
+      int64_t nz = order[j];
+      if (sigma[nz] != sg || cls[nz] != c1 || bank[nz] != b1 || h[nz] != hh)
+        break;
+      store.push_back(nz);
+      ++j;
+    }
+    it.count = (int32_t)store.size() - it.head;
+    // reverse so scanning from alive0 yields CSR order after the Python
+    // convention (Python reverses then pops from the back) — both read in
+    // original CSR order; here we simply scan forward over the run.
+    it.remaining = it.count;
+    it.alive0 = 0;
+    it.stamp = -1;
+    items.push_back(it);
+    i = j;
+  }
+  alive.assign(store.size(), 1);
+  for (auto& it : items) {
+    int32_t sg = sigma[store[it.head]];
+    pend[(size_t)sg * CT + it.c1].push_back(&it);
+    counters[(size_t)sg * CT + it.c1] += it.count;
+    total += it.count;
+    if (it.c2 != it.c1) {
+      pend[(size_t)sg * CT + it.c2].push_back(&it);
+      counters[(size_t)sg * CT + it.c2] += it.count;
+    }
+  }
+  for (auto& lst : pend)
+    std::stable_sort(lst.begin(), lst.end(),
+                     [](const BmItem* x, const BmItem* y) {
+                       return x->remaining > y->remaining;
+                     });
+
+  std::vector<BmItem*> keep, modified, merged;
+  int64_t t = 0;
+  int64_t wave_id = 0;
+  int64_t scores[64];
+  int32_t top[8];
+  while (total > 0) {
+    if (t >= cap_tiles) return -(t + 64);   // ask caller to grow
+    for (int32_t g = 0; g < G; ++g) {
+      int32_t gmod = g % Rp;
+      for (int32_t c = 0; c < CT; ++c) {
+        int64_t sc = 0;
+        for (int32_t u = 0; u < 128; ++u)
+          sc += counters[(size_t)(gmod * 128 + u) * CT + c];
+        scores[c] = sc;
+      }
+      // stable top-K by score desc (ties: class id asc)
+      for (int32_t kk = 0; kk < K; ++kk) {
+        int32_t best = -1;
+        int64_t bestv = -1;
+        for (int32_t c = 0; c < CT; ++c) {
+          bool taken = false;
+          for (int32_t q = 0; q < kk; ++q) if (top[q] == c) taken = true;
+          if (taken) continue;
+          if (scores[c] > bestv) { bestv = scores[c]; best = c; }
+        }
+        top[kk] = best;
+        class_map[((size_t)t * G + g) * K + kk] = best;
+      }
+      if (scores[top[0]] == 0) continue;
+      for (int32_t u = 0; u < 128; ++u) {
+        int32_t sg = gmod * 128 + u;
+        int64_t s_glob = (int64_t)g * 128 + u;
+        ++wave_id;
+        int32_t placed_rows = 0;
+        bool used_banks[128] = {false};
+        bool used_rows[128] = {false};
+        for (int32_t ci = 0; ci < K; ++ci) {
+          int32_t c = top[ci];
+          auto& lst = pend[(size_t)sg * CT + c];
+          if (lst.empty()) continue;
+          keep.clear();
+          modified.clear();
+          size_t idx2 = 0;
+          for (; idx2 < lst.size(); ++idx2) {
+            if (placed_rows == 128) break;
+            BmItem* it = lst[idx2];
+            if (it->remaining == 0) continue;   // lazily drop
+            if (it->stamp == wave_id) { keep.push_back(it); continue; }
+            bool is_primary = (it->c1 == c);
+            int32_t lane = is_primary ? it->j1 : it->j2;
+            if (used_banks[lane]) { keep.push_back(it); continue; }
+            int32_t placed = 0;
+            int32_t first_alive = -1;
+            for (int32_t o = it->alive0; o < it->count; ++o) {
+              if (!alive[it->head + o]) continue;
+              int64_t nz = store[it->head + o];
+              int32_t lm = lam[nz];
+              if (used_rows[lm]) {
+                if (first_alive < 0) first_alive = o;
+                continue;
+              }
+              used_rows[lm] = true;
+              alive[it->head + o] = 0;
+              t_of[nz] = t;
+              s_of[nz] = s_glob;
+              lane_of[nz] = lane;
+              bsel_of[nz] = ci;
+              choice_of[nz] = is_primary ? 0 : 1;
+              ++placed;
+            }
+            if (first_alive >= 0) it->alive0 = first_alive;
+            if (placed) {
+              used_banks[lane] = true;
+              placed_rows += placed;
+              it->remaining -= placed;
+              it->stamp = wave_id;
+              counters[(size_t)sg * CT + it->c1] -= placed;
+              if (it->c2 != it->c1)
+                counters[(size_t)sg * CT + it->c2] -= placed;
+              total -= placed;
+              if (it->remaining) modified.push_back(it);
+            } else if (it->remaining) {
+              keep.push_back(it);
+            }
+          }
+          for (; idx2 < lst.size(); ++idx2) keep.push_back(lst[idx2]);
+          std::stable_sort(modified.begin(), modified.end(),
+                           [](const BmItem* x, const BmItem* y) {
+                             return x->remaining > y->remaining;
+                           });
+          merged.clear();
+          merged.reserve(keep.size() + modified.size());
+          size_t a_ = 0, b_ = 0;
+          while (a_ < keep.size() && b_ < modified.size()) {
+            if (keep[a_]->remaining >= modified[b_]->remaining)
+              merged.push_back(keep[a_++]);
+            else
+              merged.push_back(modified[b_++]);
+          }
+          while (a_ < keep.size()) merged.push_back(keep[a_++]);
+          while (b_ < modified.size()) merged.push_back(modified[b_++]);
+          lst.swap(merged);
+        }
+      }
+    }
+    ++t;
+  }
+  if (t == 0) {
+    if (cap_tiles < 1) return -64;
+    for (int32_t g = 0; g < G; ++g)
+      for (int32_t kk = 0; kk < K; ++kk)
+        class_map[(size_t)g * K + kk] = 0;
+    t = 1;
+  }
+  return t;
+}

@@ -44,6 +44,14 @@ def _load():
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_uint8)]
             lib.wp_schedule_segments.restype = None
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.wp_schedule_bm.argtypes = [
+                ctypes.c_int64, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, i64p, i64p, i64p, i32p, i32p,
+                ctypes.POINTER(ctypes.c_uint8), i32p, ctypes.c_int64]
+            lib.wp_schedule_bm.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _failed = True
@@ -76,3 +84,41 @@ def schedule_segments(seg_bounds: np.ndarray, stripe: np.ndarray,
         k_of.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         choice.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return k_of, choice
+
+
+def schedule_bm(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT, K):
+    """Block-major scheduler; returns
+    (t_of, s_of, lane_of, bsel_of, choice_of, class_map)."""
+    lib = _load()
+    assert lib is not None
+    n = sigma.size
+    args = [np.ascontiguousarray(a, np.int32)
+            for a in (sigma, lam, bank, h, cls, cls2, bank2)]
+    order = np.ascontiguousarray(
+        np.lexsort((np.arange(n), h, bank, cls, sigma)), np.int64)
+    t_of = np.empty(n, np.int64)
+    s_of = np.empty(n, np.int64)
+    lane_of = np.empty(n, np.int32)
+    bsel_of = np.zeros(n, np.int32)
+    choice_of = np.zeros(n, np.uint8)
+    G = S // 128
+    cap = max(64, int(n * 8 // (S * 128)) + 64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    while True:
+        cm = np.zeros(cap * G * K, np.int32)
+        rc = lib.wp_schedule_bm(
+            ctypes.c_int64(n),
+            *[a.ctypes.data_as(i32p) for a in args],
+            ctypes.c_int32(R), ctypes.c_int32(S), ctypes.c_int32(CT),
+            ctypes.c_int32(K),
+            order.ctypes.data_as(i64p),
+            t_of.ctypes.data_as(i64p), s_of.ctypes.data_as(i64p),
+            lane_of.ctypes.data_as(i32p), bsel_of.ctypes.data_as(i32p),
+            choice_of.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cm.ctypes.data_as(i32p), ctypes.c_int64(cap))
+        if rc >= 0:
+            T = int(rc)
+            return (t_of, s_of, lane_of, bsel_of, choice_of,
+                    cm[:T * G * K].reshape(T, G, K))
+        cap = int(-rc) * 2

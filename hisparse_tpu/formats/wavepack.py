@@ -89,6 +89,7 @@ class Wavepack:
     tile_last: np.ndarray      # (T,) int32  1 on the last tile of a block
     nnz: int
     col_order: np.ndarray | None = None   # new col i = original col_order[i]
+    class_map: np.ndarray | None = None   # (T, S//128, K) int32, block-major
 
     @property
     def num_tiles(self) -> int:
@@ -343,20 +344,67 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
             b2o = ((jo + shifts[blk_o]) % LANES).astype(np.int32)
         else:
             b2o = None
-        k_of, choice = _schedule_segments(seg_bounds, so, lo, jo, ao, b2o)
-
-        # per-segment tile counts and global tile offsets
-        w = so.astype(np.int64) + k_of * R
         n_segs = seg_starts.size
-        seg_tiles = np.empty(n_segs, np.int64)
-        for i in range(n_segs):
-            wmax = int(w[seg_bounds[i]:seg_bounds[i + 1]].max())
-            seg_tiles[i] = wmax // S + 1
-        tile_off = np.r_[0, np.cumsum(seg_tiles)]
-        T_total = int(tile_off[-1])
-        seg_of_nz = np.repeat(np.arange(n_segs), np.diff(seg_bounds))
-        t_glob = tile_off[seg_of_nz] + w // S
-        s_loc = (w % S).astype(np.int64)
+        class_map = None
+        if cfg.block_major:
+            CT = cfg.total_blocks
+            cls_o = (ao // 128).astype(np.int32)
+            if cfg.two_choice:
+                # cross-class second copy: class2 = B + (a mod B) holds the
+                # column at h2 = a // B with a per-second-class lane
+                # rotation — high/low address bits decorrelate the choices
+                B_ = cfg.bank_blocks
+                cls2_o = (B_ + ao % B_).astype(np.int32)
+                shifts2 = np.array([bank_shift(b) for b in range(B_)],
+                                   np.int32)
+                b2x = ((jo + shifts2[ao % B_]) % LANES).astype(np.int32)
+            else:
+                cls2_o = cls_o
+                b2x = jo
+            t_glob = np.empty(nnz_total, np.int64)
+            s_loc = np.empty(nnz_total, np.int64)
+            lane_used = np.empty(nnz_total, np.int32)
+            bsel = np.zeros(nnz_total, np.int32)
+            choice = np.zeros(nnz_total, np.uint8)
+            cmaps = []
+            seg_tiles = np.empty(n_segs, np.int64)
+            off = 0
+            K = cfg.classes_per_group
+            from . import native
+            use_native = native.available()
+            for i in range(n_segs):
+                a0, a1 = int(seg_bounds[i]), int(seg_bounds[i + 1])
+                sl = slice(a0, a1)
+                sched = (native.schedule_bm if use_native
+                         else _schedule_block_major)
+                res = sched(
+                    so[sl], lo[sl], jo[sl], (ao[sl] % 128).astype(np.int32),
+                    cls_o[sl], cls2_o[sl], b2x[sl], R, S, CT, K)
+                t_l, s_l, ln, bs, ch, cm = res
+                t_glob[sl] = t_l + off
+                s_loc[sl] = s_l
+                lane_used[sl] = ln
+                bsel[sl] = bs
+                choice[sl] = ch
+                cmaps.append(cm)
+                seg_tiles[i] = cm.shape[0]
+                off += cm.shape[0]
+            class_map = np.concatenate(cmaps).astype(np.int32)
+            T_total = int(off)
+        else:
+            k_of, choice = _schedule_segments(seg_bounds, so, lo, jo, ao,
+                                              b2o)
+            # per-segment tile counts and global tile offsets
+            w = so.astype(np.int64) + k_of * R
+            seg_tiles = np.empty(n_segs, np.int64)
+            for i in range(n_segs):
+                wmax = int(w[seg_bounds[i]:seg_bounds[i + 1]].max())
+                seg_tiles[i] = wmax // S + 1
+            tile_off = np.r_[0, np.cumsum(seg_tiles)]
+            T_total = int(tile_off[-1])
+            seg_of_nz = np.repeat(np.arange(n_segs), np.diff(seg_bounds))
+            t_glob = tile_off[seg_of_nz] + w // S
+            s_loc = (w % S).astype(np.int64)
 
         pad_val = (np.float32(np.inf) if cfg.semiring == "min_plus"
                    else val_dtype.type(0) if hasattr(val_dtype, "type")
@@ -364,14 +412,23 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
         va = np.full((T_total, S, LANES), pad_val, val_dtype)
         packed = np.zeros((T_total, S, LANES), np.int32)
         vals_sorted = m.data[order].astype(val_dtype)
-        if cfg.two_choice:
+        if cfg.block_major:
+            bfield = bsel
+            if cfg.two_choice:
+                ha_field = np.where(choice, ao // cfg.bank_blocks,
+                                    ao % 128).astype(np.int32)
+            else:
+                ha_field = (ao % 128).astype(np.int32)
+        elif cfg.two_choice:
             lane_used = np.where(choice, b2o, jo).astype(np.int32)
             bfield = (ao // 128 + cfg.bank_blocks * choice).astype(np.int32)
+            ha_field = (ao % 128).astype(np.int32)
         else:
             lane_used = jo
             bfield = (ao // 128).astype(np.int32)
+            ha_field = (ao % 128).astype(np.int32)
         # gather-role fields at (t, s, gather lane); dest-role at (t, s, row lane)
-        packed[t_glob, s_loc, lane_used] |= (bfield << 7) | (ao % 128)
+        packed[t_glob, s_loc, lane_used] |= (bfield << 7) | ha_field
         if cfg.steal_mantissa:
             # src lane rides in the 7 low mantissa bits of the value
             vbits = vals_sorted.view(np.uint32)
@@ -408,9 +465,13 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     perm_y = np.empty_like(perm_orig)
     perm_y[yslot] = perm_orig[ranks]
     perm_orig = perm_y
+    if nnz_total == 0 and cfg.block_major:
+        class_map = np.zeros((1, cfg.groups, cfg.classes_per_group),
+                             np.int32)
     return Wavepack(cfg, orig_num_rows, m.num_cols, n_blocks, n_parts,
                     perm_orig, vals, idxT, t_part_arr, t_block_arr, first,
-                    last, nnz=nnz_total, col_order=col_order)
+                    last, nnz=nnz_total, col_order=col_order,
+                    class_map=class_map if cfg.block_major else None)
 
 
 def decode(wp: Wavepack) -> CSRMatrix:
@@ -448,6 +509,9 @@ def decode(wp: Wavepack) -> CSRMatrix:
         jj = src[s_idx, lam_idx]
         bf = b[s_idx, jj]
         hh = h[s_idx, jj]
+        if cfg.block_major:
+            bf = wp.class_map[t][(s_idx // 128).astype(np.int64),
+                                 bf]
         if cfg.two_choice:
             is2 = bf >= cfg.bank_blocks
             b0 = np.where(is2, bf - cfg.bank_blocks, bf)
@@ -455,7 +519,12 @@ def decode(wp: Wavepack) -> CSRMatrix:
             j1 = np.where(is2, (jj - shifts[b0]) % LANES, jj)
         else:
             b0, j1 = bf, jj
-        a = b0 * 128 + hh
+        if cfg.block_major and cfg.two_choice:
+            # secondary classes store a = h*B + b0 (stride copy)
+            a = np.where(bf >= cfg.bank_blocks,
+                         hh * cfg.bank_blocks + b0, b0 * 128 + hh)
+        else:
+            a = b0 * 128 + hh
         col = p * VB + a * LANES + j1
         if wp.col_order is not None:
             col = np.where(col < wp.num_cols, wp.col_order[np.minimum(col, wp.num_cols - 1)], col)
@@ -507,3 +576,149 @@ def load_wavepack(path) -> Wavepack:
                         f["idxT"], f["tile_part"], f["tile_block"],
                         f["tile_first"], f["tile_last"], nnz,
                         col_order=co if co.size else None)
+
+
+def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
+                          K):
+    """Class-group scheduler: every 128-wave group of a tile serves K
+    x-blocks ("classes"), chosen per group by pending demand, so the kernel
+    needs only K gathers + K-1 selects per group regardless of the block
+    count.  Requires R % 128 == 0 (a group's waves cover one contiguous
+    128-stripe range).  Items (distinct columns) may serve via their
+    primary class (cls, bank) or the cross-class second choice
+    (cls2, bank2).
+
+    Returns (t_of, s_of, lane_of, bsel_of, choice_of, class_map):
+    bsel_of is the local class index within the group's class list;
+    class_map has shape (T, S//128, K).
+    """
+    n = sigma.shape[0]
+    G = S // 128
+    Rp = R // 128                      # stripe-groups per block
+    t_of = np.empty(n, np.int64)
+    s_of = np.empty(n, np.int64)
+    lane_of = np.empty(n, np.int32)
+    bsel_of = np.zeros(n, np.int32)
+    choice_of = np.zeros(n, np.uint8)
+
+    order = np.lexsort((np.arange(n), h, bank, cls, sigma))
+    pend = {}        # (sigma, class) -> list of ents, desc by count
+    counters = np.zeros((R, CT), np.int64)   # primary + secondary demand
+    i = 0
+    while i < n:
+        nz0 = order[i]
+        sg, c1, b1, hh = (int(sigma[nz0]), int(cls[nz0]), int(bank[nz0]),
+                          int(h[nz0]))
+        j = i
+        q = []
+        while (j < n and sigma[order[j]] == sg and cls[order[j]] == c1
+               and bank[order[j]] == b1 and h[order[j]] == hh):
+            q.append(order[j])
+            j += 1
+        q.reverse()
+        ent = [len(q), b1, int(bank2[nz0]), c1, int(cls2[nz0]), q, -1]
+        pend.setdefault((sg, c1), []).append(ent)
+        counters[sg, c1] += len(q)
+        if ent[4] != c1:
+            pend.setdefault((sg, ent[4]), []).append(ent)
+            counters[sg, ent[4]] += len(q)
+        i = j
+
+    for lst in pend.values():
+        lst.sort(key=lambda e: -e[0])
+
+    class_map = []
+    total = 0   # total pending nonzeros (count each item once, via primary)
+    for (sg_, c_), lst in pend.items():
+        for e in lst:
+            if e[3] == c_:
+                total += e[0]
+    t = 0
+    wave_id = 0
+    while total > 0:
+        cm_row = np.zeros((G, K), np.int32)
+        for g in range(G):
+            gmod = g % Rp
+            scores = counters[gmod * 128:gmod * 128 + 128].sum(axis=0)
+            # top-K classes by pending demand (stable by class id)
+            top = np.argsort(-scores, kind="stable")[:K].astype(np.int32)
+            cm_row[g] = top
+            if scores[top[0]] == 0:
+                continue
+            for u in range(128):
+                sg = gmod * 128 + u
+                s_glob = g * 128 + u
+                wave_id += 1
+                placed_rows = 0
+                used_banks = bytearray(LANES)
+                used_rows = bytearray(LANES)
+                for ci in range(K):
+                    c = int(top[ci])
+                    lst = pend.get((sg, c))
+                    if not lst:
+                        continue
+                    keep, modified = [], []
+                    idx2 = -1
+                    for idx2, ent in enumerate(lst):
+                        if placed_rows == LANES:
+                            idx2 -= 1
+                            break
+                        cnt, j1, j2, c1, c2, q, stamp = ent
+                        if cnt == 0:
+                            continue    # lazily drop dead ent
+                        if stamp == wave_id:
+                            keep.append(ent)
+                            continue
+                        is_primary = (c1 == c)
+                        lane = j1 if is_primary else j2
+                        if used_banks[lane]:
+                            keep.append(ent)
+                            continue
+                        placed = 0
+                        kept_nz = []
+                        while q:
+                            nz = q.pop()
+                            lm = int(lam[nz])
+                            if used_rows[lm]:
+                                kept_nz.append(nz)
+                                continue
+                            used_rows[lm] = 1
+                            t_of[nz] = t
+                            s_of[nz] = s_glob
+                            lane_of[nz] = lane
+                            bsel_of[nz] = ci
+                            choice_of[nz] = 0 if is_primary else 1
+                            placed += 1
+                        kept_nz.reverse()
+                        q.extend(kept_nz)
+                        if placed:
+                            used_banks[lane] = 1
+                            placed_rows += placed
+                            ent[0] = len(q)
+                            ent[6] = wave_id
+                            counters[sg, c1] -= placed
+                            if c2 != c1:
+                                counters[sg, c2] -= placed
+                            total -= placed
+                            if q:
+                                modified.append(ent)
+                        elif q:
+                            keep.append(ent)
+                    keep.extend(lst[idx2 + 1:])
+                    modified.sort(key=lambda e: -e[0])
+                    merged = []
+                    a_ = b_ = 0
+                    while a_ < len(keep) and b_ < len(modified):
+                        if keep[a_][0] >= modified[b_][0]:
+                            merged.append(keep[a_]); a_ += 1
+                        else:
+                            merged.append(modified[b_]); b_ += 1
+                    merged.extend(keep[a_:])
+                    merged.extend(modified[b_:])
+                    pend[(sg, c)] = merged
+        class_map.append(cm_row)
+        t += 1
+    if not class_map:
+        class_map.append(np.zeros((G, K), np.int32))
+        t = 1
+    return t_of, s_of, lane_of, bsel_of, choice_of, np.stack(class_map)

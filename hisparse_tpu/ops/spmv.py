@@ -52,6 +52,33 @@ from ..formats.wavepack import Wavepack
 _RESIDENT_VMEM_BUDGET = 10 * 1024 * 1024
 
 
+def _route_x_bm(idx, xt, cls_ids, cfg: SpmvConfig, src_dest=None):
+    """Block-major gather: group g reads its K classes from the class map
+    (cls_ids, a list of lists of scalar class ids per group) — K gathers +
+    K-1 selects per group, independent of the total block count."""
+    K, G = cfg.classes_per_group, cfg.groups
+    hT = idx & 0x7F
+    bT = (idx >> 7) & 0xF
+    gx_groups, src_groups = [], []
+    if src_dest is None:
+        srcT = (idx >> 11) & 0x7F
+    for g in range(G):
+        sl = slice(g * 128, (g + 1) * 128)
+        hg = hT[sl]
+        e = jnp.take_along_axis(xt[cls_ids[g][0]], hg, axis=1)
+        for i in range(1, K):
+            ei = jnp.take_along_axis(xt[cls_ids[g][i]], hg, axis=1)
+            e = jnp.where(bT[sl] == i, ei, e)
+        gx_groups.append(e.T)
+        if src_dest is None:
+            src_groups.append(srcT[sl].T)
+    gx = jnp.concatenate(gx_groups, axis=0) if G > 1 else gx_groups[0]
+    if src_dest is None:
+        src_dest = (jnp.concatenate(src_groups, axis=0) if G > 1
+                    else src_groups[0])
+    return jnp.take_along_axis(gx, src_dest, axis=1)
+
+
 def _route_x(idx, xt, cfg: SpmvConfig, src_dest=None):
     """Shared per-tile gather pipeline: decode -> banked gather -> row
     crossbar.  ``xt`` is (B, 128, 128) transposed x-bank blocks; returns the
@@ -134,9 +161,12 @@ def _acc_init(cfg: SpmvConfig, like):
     return jnp.zeros_like(like)
 
 
-def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig):
+def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig, cls_ids=None):
+    route = (functools.partial(_route_x_bm, cls_ids=cls_ids, cfg=cfg)
+             if cfg.block_major
+             else functools.partial(_route_x, cfg=cfg))
     if cfg.dtype == "fixed":
-        xi = _route_x(idx, pltpu_bitcast_i32(xt), cfg)
+        xi = route(idx, pltpu_bitcast_i32(xt))
         routed = pltpu_bitcast_u32(xi)
         return _fixed_madd(acc, vals, routed)
     if cfg.steal_mantissa:
@@ -144,9 +174,9 @@ def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig):
         src_dest = vbits & 0x7F
         vals = jax.lax.bitcast_convert_type(vbits & jnp.int32(-128),
                                             jnp.float32)
-        routed = _route_x(idx, xt, cfg, src_dest)
+        routed = route(idx, xt, src_dest=src_dest)
     else:
-        routed = _route_x(idx, xt, cfg)
+        routed = route(idx, xt)
     if cfg.semiring == "min_plus":
         return jnp.minimum(acc, vals + routed)
     if cfg.semiring == "max_times":
@@ -162,9 +192,9 @@ def pltpu_bitcast_u32(x):
     return jax.lax.bitcast_convert_type(x, jnp.uint32)
 
 
-def _resident_kernel(part_ref, block_ref, vals_ref, idxT_ref, xt_ref,
-                     out_ref, *, cfg: SpmvConfig):
-    S = cfg.sublanes
+def _resident_kernel(part_ref, block_ref, cmap_ref, vals_ref, idxT_ref,
+                     xt_ref, out_ref, *, cfg: SpmvConfig):
+    S, G, K = cfg.sublanes, cfg.groups, cfg.classes_per_group
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -174,22 +204,31 @@ def _resident_kernel(part_ref, block_ref, vals_ref, idxT_ref, xt_ref,
     pid = part_ref[t]
     bid = block_ref[t]
     xt = xt_ref[pid]
+    cls_ids = None
+    if cfg.block_major:
+        cls_ids = [[cmap_ref[(t * G + g) * K + i] for i in range(K)]
+                   for g in range(G)]
     off = pl.multiple_of(bid * S, S)
     acc = out_ref[pl.ds(off, S), :]
     out_ref[pl.ds(off, S), :] = _tile_body(vals_ref[0], idxT_ref[0], xt,
-                                           acc, cfg)
+                                           acc, cfg, cls_ids)
 
 
-def _paged_kernel(part_ref, block_ref, first_ref, vals_ref, idxT_ref, xt_ref,
-                  out_ref, *, cfg: SpmvConfig):
+def _paged_kernel(part_ref, block_ref, first_ref, cmap_ref, vals_ref,
+                  idxT_ref, xt_ref, out_ref, *, cfg: SpmvConfig):
+    G, K = cfg.groups, cfg.classes_per_group
     t = pl.program_id(0)
 
     @pl.when(first_ref[t] == 1)
     def _():
         out_ref[0] = _acc_init(cfg, out_ref[0])
 
+    cls_ids = None
+    if cfg.block_major:
+        cls_ids = [[cmap_ref[(t * G + g) * K + i] for i in range(K)]
+                   for g in range(G)]
     out_ref[0] = _tile_body(vals_ref[0], idxT_ref[0], xt_ref[0], out_ref[0],
-                            cfg)
+                            cfg, cls_ids)
 
 
 def resident_bytes(cfg: SpmvConfig, n_blocks: int, n_parts: int) -> int:
@@ -202,7 +241,7 @@ def resident_bytes(cfg: SpmvConfig, n_blocks: int, n_parts: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_parts",
                                              "interpret", "variant"))
-def _spmv_call(vals, idxT, part, block, first, last, x, *,
+def _spmv_call(vals, idxT, part, block, first, last, x, cmap=None, *,
                cfg: SpmvConfig, n_blocks: int, n_parts: int,
                interpret: bool = False, variant: str = "auto"):
     S, B, R = cfg.sublanes, cfg.bank_blocks, cfg.stripes
@@ -221,9 +260,20 @@ def _spmv_call(vals, idxT, part, block, first, last, x, *,
     XT = x_padded.reshape(n_parts, B, 128, LANES).transpose(0, 1, 3, 2)
     if cfg.two_choice:
         from ..formats.wavepack import bank_shift
-        rolled = [jnp.roll(XT[:, b], bank_shift(b), axis=1)
-                  for b in range(B)]
-        XT = jnp.concatenate([XT, jnp.stack(rolled, axis=1)], axis=1)
+        if cfg.block_major:
+            # cross-class second copy: class B+b' holds columns a = h2*B+b'
+            # at address h2 with a per-class lane rotation (stride layout)
+            x2 = x_padded.reshape(n_parts, 128, B, LANES)
+            second = [jnp.roll(x2[:, :, b, :], bank_shift(b),
+                               axis=2).transpose(0, 2, 1)
+                      for b in range(B)]
+        else:
+            second = [jnp.roll(XT[:, b], bank_shift(b), axis=1)
+                      for b in range(B)]
+        XT = jnp.concatenate([XT, jnp.stack(second, axis=1)], axis=1)
+    if cfg.block_major:
+        assert cmap is not None
+        cmap = cmap.reshape(-1)
 
     if variant == "auto":
         variant = ("resident"
@@ -235,6 +285,7 @@ def _spmv_call(vals, idxT, part, block, first, last, x, *,
             functools.partial(_resident_kernel, cfg=cfg),
             grid=(T,),
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, S, LANES), lambda t: (t, 0, 0),
@@ -249,25 +300,27 @@ def _spmv_call(vals, idxT, part, block, first, last, x, *,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
-        )(part, block, vals, idxT, XT)
+        )(part, block,
+          cmap if cmap is not None else jnp.zeros(1, jnp.int32),
+          vals, idxT, XT)
         y_blocks = _stripe_fold(out.reshape(n_blocks, S // R, R, LANES), cfg)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(T,),
             in_specs=[
                 pl.BlockSpec((1, S, LANES),
-                             lambda t, pr, br, fr: (t, 0, 0),
+                             lambda t, pr, br, fr, cm: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, S, LANES),
-                             lambda t, pr, br, fr: (t, 0, 0),
+                             lambda t, pr, br, fr, cm: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, cfg.total_blocks, 128, 128),
-                             lambda t, pr, br, fr: (pr[t], 0, 0, 0),
+                             lambda t, pr, br, fr, cm: (pr[t], 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, S, LANES),
-                                   lambda t, pr, br, fr: (br[t], 0, 0),
+                                   lambda t, pr, br, fr, cm: (br[t], 0, 0),
                                    memory_space=pltpu.VMEM),
         )
         out = pl.pallas_call(
@@ -277,7 +330,9 @@ def _spmv_call(vals, idxT, part, block, first, last, x, *,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
-        )(part, block, first, vals, idxT, XT)
+        )(part, block, first,
+          cmap if cmap is not None else jnp.zeros(1, jnp.int32),
+          vals, idxT, XT)
         y_blocks = _stripe_fold(out.reshape(n_blocks, S // R, R, LANES), cfg)
     return y_blocks
 
@@ -314,6 +369,8 @@ class SpmvOperator:
         self.block = jnp.asarray(wp.tile_block)
         self.first = jnp.asarray(wp.tile_first)
         self.last = jnp.asarray(wp.tile_last)
+        self.cmap = (jnp.asarray(wp.class_map.reshape(-1))
+                     if wp.class_map is not None else None)
 
     def __call__(self, x, renamed: bool = False):
         if self.cfg.dtype == "fixed" and np.asarray(x).dtype != np.uint32:
@@ -321,7 +378,7 @@ class SpmvOperator:
             x = float_to_fixed(np.asarray(x))
         y_blocks = _spmv_call(
             self.vals, self.idxT, self.part, self.block, self.first,
-            self.last, jnp.asarray(x),
+            self.last, jnp.asarray(x), self.cmap,
             cfg=self.cfg, n_blocks=self.wp.n_blocks,
             n_parts=self.wp.n_parts, interpret=self.interpret,
             variant=self.variant)

@@ -94,3 +94,28 @@ def test_steal_mantissa_path():
                      steal_mantissa=True)
     m = powerlaw_csr(400, 500, 7, seed=9)
     check(m, cfg, seed=9, tol=1e-4)
+
+
+def test_block_major_variants():
+    """Class-group (block-major) kernel: k gathers per group driven by the
+    packed class map, cross-class two-choice."""
+    for k, tc in [(1, False), (2, True), (4, True)]:
+        cfg = SpmvConfig(sublanes=256, bank_blocks=2, stripes=128,
+                         block_major=True, classes_per_group=k,
+                         two_choice=tc)
+        m = powerlaw_csr(400, 33000, 7, seed=11)
+        check(m, cfg, seed=11)
+
+
+def test_block_major_multiblock_paged():
+    cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=128,
+                     block_major=True, classes_per_group=2, two_choice=True)
+    m = powerlaw_csr(cfg.rows_per_block + 60, cfg.vb_cols + 500, 5, seed=12)
+    rng = np.random.default_rng(12)
+    x = rng.random(m.num_cols).astype(np.float32)
+    wp = pack(m, cfg)
+    ref = spmv_f64(m, x)
+    scale = max(np.abs(ref).max(), 1.0)
+    for variant in ("resident", "paged"):
+        y = spmv(wp, x, interpret=True, variant=variant)
+        np.testing.assert_allclose(y, ref, atol=1e-4 * scale, rtol=1e-4)
