@@ -52,10 +52,13 @@ from ..formats.wavepack import Wavepack
 _RESIDENT_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _route_x_bm(idx, xt, cls_ids, cfg: SpmvConfig, src_dest=None):
+def _route_x_bm(idx, xt_get, cls_ids, cfg: SpmvConfig, src_dest=None):
     """Block-major gather: group g reads its K classes from the class map
     (cls_ids, a list of lists of scalar class ids per group) — K gathers +
-    K-1 selects per group, independent of the total block count."""
+    K-1 selects per group, independent of the total block count.
+    ``xt_get(c)`` loads one (128,128) transposed x block from the ref at a
+    dynamic class index (a ref read, not an array dynamic_slice — Mosaic
+    supports only the former)."""
     K, G = cfg.classes_per_group, cfg.groups
     hT = idx & 0x7F
     bT = (idx >> 7) & 0xF
@@ -65,9 +68,9 @@ def _route_x_bm(idx, xt, cls_ids, cfg: SpmvConfig, src_dest=None):
     for g in range(G):
         sl = slice(g * 128, (g + 1) * 128)
         hg = hT[sl]
-        e = jnp.take_along_axis(xt[cls_ids[g][0]], hg, axis=1)
+        e = jnp.take_along_axis(xt_get(cls_ids[g][0]), hg, axis=1)
         for i in range(1, K):
-            ei = jnp.take_along_axis(xt[cls_ids[g][i]], hg, axis=1)
+            ei = jnp.take_along_axis(xt_get(cls_ids[g][i]), hg, axis=1)
             e = jnp.where(bT[sl] == i, ei, e)
         gx_groups.append(e.T)
         if src_dest is None:
@@ -162,11 +165,16 @@ def _acc_init(cfg: SpmvConfig, like):
 
 
 def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig, cls_ids=None):
+    """``xt`` is the loaded (CT,128,128) block array for the select-chain
+    path, or a ref-getter function c -> (128,128) for block-major."""
     route = (functools.partial(_route_x_bm, cls_ids=cls_ids, cfg=cfg)
              if cfg.block_major
              else functools.partial(_route_x, cfg=cfg))
     if cfg.dtype == "fixed":
-        xi = route(idx, pltpu_bitcast_i32(xt))
+        if cfg.block_major:
+            xi = route(idx, lambda c: pltpu_bitcast_i32(xt(c)))
+        else:
+            xi = route(idx, pltpu_bitcast_i32(xt))
         routed = pltpu_bitcast_u32(xi)
         return _fixed_madd(acc, vals, routed)
     if cfg.steal_mantissa:
@@ -203,11 +211,13 @@ def _resident_kernel(part_ref, block_ref, cmap_ref, vals_ref, idxT_ref,
 
     pid = part_ref[t]
     bid = block_ref[t]
-    xt = xt_ref[pid]
     cls_ids = None
     if cfg.block_major:
+        xt = lambda c: xt_ref[pid, c]
         cls_ids = [[cmap_ref[(t * G + g) * K + i] for i in range(K)]
                    for g in range(G)]
+    else:
+        xt = xt_ref[pid]
     off = pl.multiple_of(bid * S, S)
     acc = out_ref[pl.ds(off, S), :]
     out_ref[pl.ds(off, S), :] = _tile_body(vals_ref[0], idxT_ref[0], xt,
@@ -225,9 +235,12 @@ def _paged_kernel(part_ref, block_ref, first_ref, cmap_ref, vals_ref,
 
     cls_ids = None
     if cfg.block_major:
+        xt = lambda c: xt_ref[0, c]
         cls_ids = [[cmap_ref[(t * G + g) * K + i] for i in range(K)]
                    for g in range(G)]
-    out_ref[0] = _tile_body(vals_ref[0], idxT_ref[0], xt_ref[0], out_ref[0],
+    else:
+        xt = xt_ref[0]
+    out_ref[0] = _tile_body(vals_ref[0], idxT_ref[0], xt, out_ref[0],
                             cfg, cls_ids)
 
 
