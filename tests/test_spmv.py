@@ -38,7 +38,7 @@ def test_powerlaw():
 
 
 def test_multipart_multiblock():
-    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128)
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=32)
     m = powerlaw_csr(cfg.rows_per_block + 100, cfg.vb_cols + 300, 5, seed=4)
     check(m, cfg)
 
@@ -52,7 +52,7 @@ def test_nn_style_config():
 
 
 def test_multiblock_bank2():
-    cfg = SpmvConfig(sublanes=256, bank_blocks=2, stripes=64)
+    cfg = SpmvConfig(sublanes=256, bank_blocks=2, stripes=32)
     m = powerlaw_csr(cfg.rows_per_block * 2 - 10, cfg.vb_cols + 17, 4, seed=6)
     check(m, cfg)
 
@@ -65,7 +65,7 @@ def test_zero_matrix():
 
 
 def test_paged_variant_matches():
-    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128)
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=32)
     m = powerlaw_csr(cfg.rows_per_block + 50, cfg.vb_cols + 200, 5, seed=7)
     rng = np.random.default_rng(7)
     x = rng.random(m.num_cols).astype(np.float32)
@@ -103,14 +103,14 @@ def test_block_major_variants():
         cfg = SpmvConfig(sublanes=256, bank_blocks=2, stripes=128,
                          block_major=True, classes_per_group=k,
                          two_choice=tc)
-        m = powerlaw_csr(400, 33000, 7, seed=11)
+        m = powerlaw_csr(400, 20000, 6, seed=11)
         check(m, cfg, seed=11)
 
 
 def test_block_major_multiblock_paged():
     cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=128,
                      block_major=True, classes_per_group=2, two_choice=True)
-    m = powerlaw_csr(cfg.rows_per_block + 60, cfg.vb_cols + 500, 5, seed=12)
+    m = powerlaw_csr(2000, cfg.vb_cols + 500, 5, seed=12)
     rng = np.random.default_rng(12)
     x = rng.random(m.num_cols).astype(np.float32)
     wp = pack(m, cfg)
