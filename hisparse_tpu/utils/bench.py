@@ -97,15 +97,24 @@ def measure_spmv(name: str, op, x, nnz: int, stream_bytes: int,
                  preproc_s: float = 0.0, fill: float = 0.0) -> SpmvMetrics:
     from ..ops.spmv import _spmv_call
 
-    def fn(xx, vals, idxT, part, block, first, last):
-        y = _spmv_call(vals, idxT, part, block, first, last, xx,
-                       cfg=op.cfg, n_blocks=op.wp.n_blocks,
-                       n_parts=op.wp.n_parts, interpret=op.interpret,
-                       variant=op.variant)
-        return y.reshape(-1)
-
-    dt = device_loop_time(fn, jnp.asarray(x), op.vals, op.idxT, op.part,
-                          op.block, op.first, op.last)
+    if op.cmap is not None:
+        def fn(xx, vals, idxT, part, block, first, last, cmap):
+            y = _spmv_call(vals, idxT, part, block, first, last, xx, cmap,
+                           cfg=op.cfg, n_blocks=op.wp.n_blocks,
+                           n_parts=op.wp.n_parts, interpret=op.interpret,
+                           variant=op.variant)
+            return y.reshape(-1)
+        args = (op.vals, op.idxT, op.part, op.block, op.first, op.last,
+                op.cmap)
+    else:
+        def fn(xx, vals, idxT, part, block, first, last):
+            y = _spmv_call(vals, idxT, part, block, first, last, xx,
+                           cfg=op.cfg, n_blocks=op.wp.n_blocks,
+                           n_parts=op.wp.n_parts, interpret=op.interpret,
+                           variant=op.variant)
+            return y.reshape(-1)
+        args = (op.vals, op.idxT, op.part, op.block, op.first, op.last)
+    dt = device_loop_time(fn, jnp.asarray(x), *args)
     return SpmvMetrics(
         name=name, preproc_s=preproc_s, spmv_ms=dt * 1e3,
         gbps=nnz * 8 / dt / 1e9, gops=2 * nnz / dt / 1e9,
