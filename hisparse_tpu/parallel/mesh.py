@@ -54,6 +54,10 @@ def _pad_tiles(wp: Wavepack, T: int, n_blocks: int) -> Wavepack:
         # move the "last" flag of the final block to the final padded tile
         tile_last[wp.num_tiles - 1] = 0
         tile_last[-1] = 1
+    class_map = wp.class_map
+    if class_map is not None:
+        class_map = np.concatenate(
+            [class_map, np.zeros((extra,) + class_map.shape[1:], np.int32)])
     perm = wp.perm
     rpb = wp.config.rows_per_block
     if wp.n_blocks < n_blocks:
@@ -61,7 +65,8 @@ def _pad_tiles(wp: Wavepack, T: int, n_blocks: int) -> Wavepack:
                                              wp.num_rows, np.int64)])
     return Wavepack(wp.config, wp.num_rows, wp.num_cols, n_blocks,
                     wp.n_parts, perm, vals, idxT, tile_part, tile_block,
-                    tile_first, tile_last, wp.nnz)
+                    tile_first, tile_last, wp.nnz,
+                    col_order=wp.col_order, class_map=class_map)
 
 
 class ShardedSpmv:
@@ -110,8 +115,13 @@ class ShardedSpmv:
         self.block = stack(lambda w: w.tile_block)
         self.first = stack(lambda w: w.tile_first)
         self.last = stack(lambda w: w.tile_last)
+        self.cmap = (stack(lambda w: w.class_map.reshape(-1))
+                     if st[0].class_map is not None else None)
         spec = NamedSharding(mesh, P(axis))
-        for name in ("vals", "idxT", "part", "block", "first", "last"):
+        names = ["vals", "idxT", "part", "block", "first", "last"]
+        if self.cmap is not None:
+            names.append("cmap")
+        for name in names:
             setattr(self, name, jax.device_put(getattr(self, name), spec))
         self._build()
 
@@ -120,23 +130,26 @@ class ShardedSpmv:
         interpret = self.interpret
         axis = self.axis
 
-        def local(vals, idxT, part, block, first, last, x):
+        has_cmap = self.cmap is not None
+
+        def local(vals, idxT, part, block, first, last, x, *cm):
+            cmap = cm[0][0] if has_cmap else None
             y = _spmv_call(vals[0], idxT[0], part[0], block[0], first[0],
-                           last[0], x, cfg=cfg, n_blocks=NB, n_parts=NP,
-                           interpret=interpret)
+                           last[0], x, cmap, cfg=cfg, n_blocks=NB,
+                           n_parts=NP, interpret=interpret)
             return y[None]
 
+        in_specs = [P(axis)] * 6 + [P()] + ([P(axis)] if has_cmap else [])
         self._sharded = jax.jit(jax.shard_map(
-            local, mesh=self.mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                      P()),
+            local, mesh=self.mesh, in_specs=tuple(in_specs),
             out_specs=P(axis), check_vma=False))
 
     def __call__(self, x) -> jax.Array:
         """Returns per-device renamed y blocks, shape
         (n_devices, n_blocks, stripes, 128), sharded over the mesh."""
+        extra = (self.cmap,) if self.cmap is not None else ()
         return self._sharded(self.vals, self.idxT, self.part, self.block,
-                             self.first, self.last, jnp.asarray(x))
+                             self.first, self.last, jnp.asarray(x), *extra)
 
     def unpack_y(self, y_sharded) -> np.ndarray:
         """Assemble the global y on host from per-device renamed blocks."""

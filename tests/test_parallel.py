@@ -35,3 +35,14 @@ def test_sharded_powerlaw_split(mesh):
     y = op.unpack_y(op(x))[:m.num_rows]
     ref = spmv_f64(m, x)
     np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4 * abs(ref).max())
+
+
+def test_sharded_block_major(mesh):
+    cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=128,
+                     block_major=True, classes_per_group=2, two_choice=True)
+    m = powerlaw_csr(900, 20000, 6, seed=3)
+    op = ShardedSpmv(m, mesh, cfg, interpret=True)
+    x = np.random.default_rng(2).random(m.num_cols).astype(np.float32)
+    y = op.unpack_y(op(x))[:m.num_rows]
+    ref = spmv_f64(m, x)
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4 * abs(ref).max())
