@@ -30,9 +30,15 @@ BASELINE_GOPS = 16.7
 def tune_grid():
     from hisparse_tpu import SpmvConfig
     pts = []
-    for B, tc in [(2, True), (4, True), (8, True), (8, False), (16, False)]:
+    for B in (4, 8, 16):
         pts.append((SpmvConfig(sublanes=512, bank_blocks=B, stripes=512,
-                               two_choice=tc), "auto"))
+                               two_choice=True, block_major=True,
+                               classes_per_group=4, steal_mantissa=True),
+                    "auto"))
+    pts.append((SpmvConfig(sublanes=512, bank_blocks=2, stripes=512,
+                           two_choice=True, steal_mantissa=True), "auto"))
+    pts.append((SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
+                           two_choice=False), "auto"))
     for R in (4, 16):
         pts.append((SpmvConfig(sublanes=512, bank_blocks=2, stripes=R,
                                two_choice=True), None))

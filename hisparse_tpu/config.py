@@ -147,5 +147,7 @@ class SpmvConfig:
 # Default design points, the analog of the DSE-chosen ob=8K/vb=4K of the
 # paper (SURVEY.md section 6).  Graphs want many rows in flight; pruned-NN
 # wants many slots per row.
-GRAPH_CONFIG = SpmvConfig(sublanes=512, bank_blocks=2, stripes=512)
+GRAPH_CONFIG = SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
+                          block_major=True, classes_per_group=4,
+                          steal_mantissa=True)
 NN_CONFIG = SpmvConfig(sublanes=512, bank_blocks=2, stripes=4)

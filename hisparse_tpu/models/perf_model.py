@@ -31,21 +31,24 @@ from ..formats.csr import CSRMatrix
 from ..formats.wavepack import Wavepack
 from ..ops.spmv import resident_bytes, _RESIDENT_VMEM_BUDGET
 
-# measured sustained slot rates (Gslot/s) on TPU v5e by gather-block count
-# (scripts/tpu_bench1.py); linear interpolation elsewhere.
-SLOT_RATE_GSLOTS = {1: 55.0, 2: 45.0, 4: 34.0, 8: 24.0, 16: 15.0}
+# measured sustained slot rates (Gslot/s) on TPU v5e (scripts/tpu_bench2.py)
+# keyed by gather-operand count: select-chain path by total_blocks,
+# block-major path by classes_per_group.  Linear interpolation elsewhere.
+SLOT_RATE_GSLOTS = {1: 55.0, 2: 45.0, 4: 36.0, 8: 19.0, 16: 11.0}
+SLOT_RATE_BM_GSLOTS = {1: 50.0, 2: 44.0, 4: 38.0, 8: 20.0}
 
 
-def slot_rate(bank_blocks: int) -> float:
-    ks = sorted(SLOT_RATE_GSLOTS)
-    if bank_blocks in SLOT_RATE_GSLOTS:
-        return SLOT_RATE_GSLOTS[bank_blocks]
-    lo = max([k for k in ks if k < bank_blocks], default=ks[0])
-    hi = min([k for k in ks if k > bank_blocks], default=ks[-1])
+def slot_rate(n_operands: int, block_major: bool = False) -> float:
+    table = SLOT_RATE_BM_GSLOTS if block_major else SLOT_RATE_GSLOTS
+    ks = sorted(table)
+    if n_operands in table:
+        return table[n_operands]
+    lo = max([k for k in ks if k < n_operands], default=ks[0])
+    hi = min([k for k in ks if k > n_operands], default=ks[-1])
     if lo == hi:
-        return SLOT_RATE_GSLOTS[lo]
-    f = (bank_blocks - lo) / (hi - lo)
-    return SLOT_RATE_GSLOTS[lo] * (1 - f) + SLOT_RATE_GSLOTS[hi] * f
+        return table[lo]
+    f = (n_operands - lo) / (hi - lo)
+    return table[lo] * (1 - f) + table[hi] * f
 
 
 @dataclasses.dataclass
@@ -93,7 +96,9 @@ def estimate(m: CSRMatrix, cfg: SpmvConfig, wp: Wavepack,
     alpha = schedule_alpha(m, cfg, wp)
 
     tm = wp.stream_bytes / (hbm_gbps * 1e9)
-    tc = slots / (slot_rate(cfg.total_blocks) * 1e9)
+    n_ops = (cfg.classes_per_group if cfg.block_major
+             else cfg.total_blocks)
+    tc = slots / (slot_rate(n_ops, cfg.block_major) * 1e9)
     resident = (resident_bytes(cfg, wp.n_blocks, wp.n_parts)
                 <= _RESIDENT_VMEM_BUDGET)
     x_bytes = wp.n_parts * cfg.vb_cols * 4 * (1 if resident else wp.n_blocks)
