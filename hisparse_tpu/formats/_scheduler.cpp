@@ -190,7 +190,10 @@ extern "C" int64_t wp_schedule_bm(
   std::vector<BmItem> items;
   std::vector<uint8_t> alive;
   std::vector<std::vector<BmItem*>> pend((size_t)R * CT);
-  std::vector<int64_t> counters((size_t)R * CT, 0);
+  // per (stripe, row lane, class): pending nonzeros reachable via that
+  // class; rows_cnt counts rows with any (row-coverage class scoring)
+  std::vector<int32_t> cnt_rlc((size_t)R * 128 * CT, 0);
+  std::vector<int64_t> rows_cnt((size_t)R * CT, 0);
 
   // build items from sorted runs of (sigma, cls, bank, h)
   int64_t i = 0;
@@ -223,13 +226,22 @@ extern "C" int64_t wp_schedule_bm(
   for (auto& it : items) {
     int32_t sg = sigma[store[it.head]];
     pend[(size_t)sg * CT + it.c1].push_back(&it);
-    counters[(size_t)sg * CT + it.c1] += it.count;
     total += it.count;
+    for (int32_t o = 0; o < it.count; ++o) {
+      int32_t lm = lam[store[it.head + o]];
+      ++cnt_rlc[((size_t)sg * 128 + lm) * CT + it.c1];
+      if (it.c2 != it.c1)
+        ++cnt_rlc[((size_t)sg * 128 + lm) * CT + it.c2];
+    }
     if (it.c2 != it.c1) {
       pend[(size_t)sg * CT + it.c2].push_back(&it);
-      counters[(size_t)sg * CT + it.c2] += it.count;
     }
   }
+  for (int32_t sg = 0; sg < R; ++sg)
+    for (int32_t lm = 0; lm < 128; ++lm)
+      for (int32_t c = 0; c < CT; ++c)
+        if (cnt_rlc[((size_t)sg * 128 + lm) * CT + c] > 0)
+          ++rows_cnt[(size_t)sg * CT + c];
   for (auto& lst : pend)
     std::stable_sort(lst.begin(), lst.end(),
                      [](const BmItem* x, const BmItem* y) {
@@ -248,7 +260,7 @@ extern "C" int64_t wp_schedule_bm(
       for (int32_t c = 0; c < CT; ++c) {
         int64_t sc = 0;
         for (int32_t u = 0; u < 128; ++u)
-          sc += counters[(size_t)(gmod * 128 + u) * CT + c];
+          sc += rows_cnt[(size_t)(gmod * 128 + u) * CT + c];
         scores[c] = sc;
       }
       // stable top-K by score desc (ties: class id asc)
@@ -304,6 +316,12 @@ extern "C" int64_t wp_schedule_bm(
               lane_of[nz] = lane;
               bsel_of[nz] = ci;
               choice_of[nz] = is_primary ? 0 : 1;
+              if (--cnt_rlc[((size_t)sg * 128 + lm) * CT + it->c1] == 0)
+                --rows_cnt[(size_t)sg * CT + it->c1];
+              if (it->c2 != it->c1) {
+                if (--cnt_rlc[((size_t)sg * 128 + lm) * CT + it->c2] == 0)
+                  --rows_cnt[(size_t)sg * CT + it->c2];
+              }
               ++placed;
             }
             if (first_alive >= 0) it->alive0 = first_alive;
@@ -312,9 +330,6 @@ extern "C" int64_t wp_schedule_bm(
               placed_rows += placed;
               it->remaining -= placed;
               it->stamp = wave_id;
-              counters[(size_t)sg * CT + it->c1] -= placed;
-              if (it->c2 != it->c1)
-                counters[(size_t)sg * CT + it->c2] -= placed;
               total -= placed;
               if (it->remaining) modified.push_back(it);
             } else if (it->remaining) {

@@ -603,7 +603,9 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
 
     order = np.lexsort((np.arange(n), h, bank, cls, sigma))
     pend = {}        # (sigma, class) -> list of ents, desc by count
-    counters = np.zeros((R, CT), np.int64)   # primary + secondary demand
+    # per (stripe, row lane, class): pending nonzeros reachable via that
+    # class (primary or secondary); rows_cnt counts rows with any
+    cnt_rlc = np.zeros((R, LANES, CT), np.int32)
     i = 0
     while i < n:
         nz0 = order[i]
@@ -615,14 +617,18 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
                and bank[order[j]] == b1 and h[order[j]] == hh):
             q.append(order[j])
             j += 1
+        c2 = int(cls2[nz0])
+        for nz in q:
+            cnt_rlc[sg, lam[nz], c1] += 1
+            if c2 != c1:
+                cnt_rlc[sg, lam[nz], c2] += 1
         q.reverse()
-        ent = [len(q), b1, int(bank2[nz0]), c1, int(cls2[nz0]), q, -1]
+        ent = [len(q), b1, int(bank2[nz0]), c1, c2, q, -1]
         pend.setdefault((sg, c1), []).append(ent)
-        counters[sg, c1] += len(q)
-        if ent[4] != c1:
-            pend.setdefault((sg, ent[4]), []).append(ent)
-            counters[sg, ent[4]] += len(q)
+        if c2 != c1:
+            pend.setdefault((sg, c2), []).append(ent)
         i = j
+    rows_cnt = (cnt_rlc > 0).sum(axis=1).astype(np.int64)   # (R, CT)
 
     for lst in pend.values():
         lst.sort(key=lambda e: -e[0])
@@ -639,8 +645,8 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
         cm_row = np.zeros((G, K), np.int32)
         for g in range(G):
             gmod = g % Rp
-            scores = counters[gmod * 128:gmod * 128 + 128].sum(axis=0)
-            # top-K classes by pending demand (stable by class id)
+            # score = rows that could place via each class (row coverage)
+            scores = rows_cnt[gmod * 128:gmod * 128 + 128].sum(axis=0)
             top = np.argsort(-scores, kind="stable")[:K].astype(np.int32)
             cm_row[g] = top
             if scores[top[0]] == 0:
@@ -688,6 +694,13 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
                             lane_of[nz] = lane
                             bsel_of[nz] = ci
                             choice_of[nz] = 0 if is_primary else 1
+                            cnt_rlc[sg, lm, c1] -= 1
+                            if cnt_rlc[sg, lm, c1] == 0:
+                                rows_cnt[sg, c1] -= 1
+                            if c2 != c1:
+                                cnt_rlc[sg, lm, c2] -= 1
+                                if cnt_rlc[sg, lm, c2] == 0:
+                                    rows_cnt[sg, c2] -= 1
                             placed += 1
                         kept_nz.reverse()
                         q.extend(kept_nz)
@@ -696,9 +709,6 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
                             placed_rows += placed
                             ent[0] = len(q)
                             ent[6] = wave_id
-                            counters[sg, c1] -= placed
-                            if c2 != c1:
-                                counters[sg, c2] -= placed
                             total -= placed
                             if q:
                                 modified.append(ent)

@@ -84,17 +84,19 @@ def explore(matrices: Sequence[tuple[str, CSRMatrix]],
     results = []
     for cfg, split in grid:
         per = []
+        skip = False
         for name, m in sampled:
-            n_blocks = max(1, -(-m.num_rows // cfg.rows_per_block))
-            n_parts = max(1, -(-m.num_cols // cfg.vb_cols))
-            if resident_bytes(cfg, n_blocks, n_parts) > vmem_budget:
-                # paged fallback allowed, but URAM-budget analog: penalize by
-                # modeling the x reloads (estimate() handles it)
-                pass
+            # block-major needs populated stripes; with far fewer rows than
+            # a block the class schedule degenerates (and packs very slowly)
+            if cfg.block_major and m.num_rows < cfg.rows_per_block // 8:
+                skip = True
+                break
             t0 = time.perf_counter()
             wp = pack(m, cfg, split_max=split)
             est = estimate(m, cfg, wp, hbm_gbps)
             per.append((name, est, time.perf_counter() - t0))
+        if skip:
+            continue
         point = DsePoint(cfg, split, geomean([e.gops for _, e, _ in per]),
                          per)
         results.append(point)
