@@ -49,10 +49,17 @@ def device_loop_time(fn: Callable, x: jax.Array, *args,
     """
     @jax.jit
     def run(x, reps, *args):
+        floating = jnp.issubdtype(x.dtype, jnp.floating)
+
         def body(i, carry):
             acc, xx = carry
             y = fn(xx, *args)
-            return acc + y.reshape(-1)[0], xx + 1e-12 * i
+            # perturb the input each iteration so XLA cannot hoist the body
+            if floating:
+                xx = xx + (1e-12 * i).astype(x.dtype)
+            else:
+                xx = xx + (i % 2).astype(x.dtype)
+            return acc + y.reshape(-1)[0].astype(jnp.float32), xx
         acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), x))
         return acc
 
