@@ -38,55 +38,79 @@ class PageRank:
     and packed as P A P^T with matched row/column renaming so each iteration
     feeds y straight back as x on device — no per-iteration permutation or
     host round trip.
+
+    Hub rows are split into virtual rows by the packer; their partial sums
+    are recombined ON DEVICE by a second (tiny) wavepack SpMV over the 0/1
+    selection matrix mapping y slots back to the column-rank layout — the
+    combine is itself just SpMV, so the whole iteration stays two kernel
+    launches.
     """
 
     def __init__(self, adj: CSRMatrix, config: SpmvConfig | None = None,
-                 damping: float = 0.85, interpret: bool = False):
+                 damping: float = 0.85, interpret: bool = False,
+                 split_max="auto"):
         if adj.num_rows != adj.num_cols:
             raise ValueError("PageRank needs a square adjacency matrix")
         self.n = adj.num_rows
         self.damping = damping
         m = normalize_by_outdegree(adj.astype(np.float32))
-        order = argsort_rows_by_nnz(m, descending=True)
-        # hub splitting is incompatible with renamed-space chaining (the
-        # virtual partials would feed back unsummed), so split_max=None
-        self.wp = pack(m, config, row_order=order, col_order=order)
+        order_cols = argsort_rows_by_nnz(m, descending=True)
+        self.wp = pack(m, config, split_max=split_max, col_order=order_cols)
         self.op = SpmvOperator(self.wp, interpret=interpret)
         cfg = self.wp.config
-        self.n_slots = self.wp.n_blocks * cfg.rows_per_block
-        # rank layout: slot i holds original row order[i]; i >= n is padding
+        self.n_slots_y = self.wp.n_blocks * cfg.rows_per_block
+        # column-rank layout: slot i holds original row order_cols[i]
         self.inv = np.empty(self.n, np.int64)
-        self.inv[order] = np.arange(self.n)
-        valid = np.zeros(self.n_slots, np.float32)
-        valid[:self.n] = 1.0
-        self.valid = jnp.asarray(valid)
+        self.inv[order_cols] = np.arange(self.n)
+        # combine matrix C: x_rank[i] = sum of y slots s with
+        # perm[s] == order_cols[i]
+        perm = self.wp.perm
+        valid = np.nonzero(perm < self.n)[0]
+        import scipy.sparse as sp
+        C = sp.csr_matrix(
+            (np.ones(valid.size, np.float32),
+             (perm[valid], valid)),
+            shape=(self.n, self.n_slots_y))
+        needs_combine = valid.size > self.n or (
+            np.bincount(perm[valid], minlength=self.n) > 1).any()
+        c_cfg = SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
+                           two_choice=True)
+        self.wp_C = pack(CSRMatrix.from_scipy(C), c_cfg,
+                         row_order=order_cols)
+        self.op_C = SpmvOperator(self.wp_C, interpret=interpret)
+        self.n_slots_rank = self.wp_C.n_blocks * c_cfg.rows_per_block
+        valid_rank = np.zeros(self.n_slots_rank, np.float32)
+        valid_rank[:self.n] = 1.0
+        self.valid = jnp.asarray(valid_rank)
+        self._uses_combine = True
 
-    def _y_to_rank(self, y_renamed):
-        return y_to_rank(self.wp, y_renamed)
-
-    def _step(self, x_renamed):
-        y = self.op(x_renamed, renamed=True)
-        return (self.damping * self._y_to_rank(y)
+    def _step(self, x_rank):
+        """x_rank: length n_slots_rank, rank layout (slot i = row
+        order_cols[i]); returns the next x in the same layout."""
+        y = self.op(x_rank[:self.n], renamed=True)
+        combined = self.op_C(y, renamed=True)
+        xr = y_to_rank(self.wp_C, combined)
+        return (self.damping * xr
                 + (1.0 - self.damping) / self.n * self.valid)
 
     def run(self, iters: int = 20, x0: np.ndarray | None = None) -> np.ndarray:
         """Run power iterations; returns the PageRank vector in original
         row order."""
+        xr = np.zeros(self.n_slots_rank, np.float32)
         if x0 is None:
-            xr = np.zeros(self.n_slots, np.float32)
-            xr[self.inv] = 1.0 / self.n
+            xr[:self.n] = 1.0 / self.n
         else:
-            xr = np.zeros(self.n_slots, np.float32)
+            # rank slot i holds original row order_cols[i]
             xr[self.inv] = x0
         x = jnp.asarray(xr)
-        step = jax.jit(lambda x: self._step(x)) if not self.op.interpret \
-            else self._step
+        step = jax.jit(self._step) if not self.op.interpret else self._step
         for _ in range(iters):
             x = step(x)
-        return np.asarray(x)[self.inv]
+        out = np.asarray(x)
+        return out[self.inv]
 
     def step_fn(self):
-        """A jittable (x_renamed -> x_renamed) step for benchmarking and
+        """A jittable (x_rank -> x_rank) step for benchmarking and
         multi-chip dry runs."""
         return self._step
 
