@@ -21,7 +21,7 @@ print("PageRank correct:", err < 2e-3, f"(rel {err:.1e})", flush=True)
 
 # time one fused step (spmv + damped update)
 step = pr.step_fn()
-x0 = jnp.asarray(np.random.default_rng(0).random(pr.n_slots).astype(np.float32) / pr.n)
+x0 = jnp.asarray(np.random.default_rng(0).random(pr.n_slots_rank).astype(np.float32) / pr.n)
 def fn(x):
     return step(x)
 dt = device_loop_time(fn, x0)
