@@ -20,6 +20,30 @@ from ..formats.csr import CSRMatrix, argsort_rows_by_nnz, normalize_by_outdegree
 from ..formats.wavepack import pack
 
 
+def build_combine(wp_A, n_rows, order_rows, semiring, interpret):
+    """Build the on-device partial-combine operator: a wavepack SpMV over
+    the 0/1 selection matrix mapping A's y slots to rank layout, with the
+    semiring's identity weights (0 for min_plus so combine=min, 1
+    otherwise)."""
+    import dataclasses as _dc
+    import scipy.sparse as sp
+    from ..config import SpmvConfig as _SC
+    from ..formats.csr import CSRMatrix as _CM
+    perm = wp_A.perm
+    n_slots_y = perm.shape[0]
+    valid = np.nonzero(perm < n_rows)[0]
+    w = np.zeros(valid.size, np.float32) if semiring == "min_plus" \
+        else np.ones(valid.size, np.float32)
+    C = sp.csr_matrix((w, (perm[valid], valid)), shape=(n_rows, n_slots_y))
+    c_cfg = _SC(sublanes=512, bank_blocks=8, stripes=512, two_choice=True,
+                semiring=semiring)
+    wp_C = pack(_CM(n_rows, n_slots_y, np.asarray(C.data, np.float32),
+                    np.asarray(C.indices, np.int32),
+                    np.asarray(C.indptr, np.int64)),
+                c_cfg, row_order=order_rows)
+    return wp_C, SpmvOperator(wp_C, interpret=interpret)
+
+
 def y_to_rank(wp, y_renamed):
     """Transpose a y-layout result into rank layout (free on device):
     rank rho lives at y slot (rho % n_blocks, (rho//n_blocks) % R,
@@ -144,21 +168,20 @@ class SSSP:
         if adj.num_rows != adj.num_cols:
             raise ValueError("SSSP needs a square weighted adjacency matrix")
         cfg = config or SpmvConfig()
-        cfg = _dc.replace(cfg, semiring="min_plus", dtype="fp32")
+        cfg = _dc.replace(cfg, semiring="min_plus", dtype="fp32",
+                          steal_mantissa=False)
         self.n = adj.num_rows
         # transpose so y[v] = min over in-edges (u,v): w(u,v) + d[u]
         from ..formats.csr import csr_to_csc
         at = csr_to_csc(adj.astype(np.float32))
         order = argsort_rows_by_nnz(at, descending=True)
-        self.wp = pack(at, cfg, row_order=order, col_order=order)
+        self.wp = pack(at, cfg, split_max="auto", col_order=order)
         self.op = SpmvOperator(self.wp, interpret=interpret)
-        self.order = order
         self.inv = np.empty(self.n, np.int64)
         self.inv[order] = np.arange(self.n)
-        self.n_slots = self.wp.n_blocks * cfg.rows_per_block
-
-    def _y_to_rank(self, y):
-        return y_to_rank(self.wp, y)
+        self.wp_C, self.op_C = build_combine(self.wp, self.n, order,
+                                             "min_plus", interpret)
+        self.n_slots = self.wp_C.n_blocks * self.wp_C.config.rows_per_block
 
     def run(self, source: int, iters: int | None = None) -> np.ndarray:
         iters = iters if iters is not None else self.n - 1
@@ -172,8 +195,9 @@ class SSSP:
         return out
 
     def _step(self, x):
-        y = self._y_to_rank(self.op(x, renamed=True))
-        return jnp.minimum(x, y)
+        y = self.op(x[:self.n], renamed=True)
+        combined = self.op_C(y, renamed=True)
+        return jnp.minimum(x, y_to_rank(self.wp_C, combined))
 
 
 def sssp_reference(adj: CSRMatrix, source: int) -> np.ndarray:
@@ -189,21 +213,21 @@ class BFS:
                  interpret: bool = False):
         import dataclasses as _dc
         cfg = config or SpmvConfig()
-        cfg = _dc.replace(cfg, semiring="max_times", dtype="fp32")
+        cfg = _dc.replace(cfg, semiring="max_times", dtype="fp32",
+                          steal_mantissa=False)
         self.n = adj.num_rows
         from ..formats.csr import csr_to_csc
         at = csr_to_csc(adj)
         at = CSRMatrix(at.num_rows, at.num_cols,
                        np.ones(at.nnz, np.float32), at.indices, at.indptr)
         order = argsort_rows_by_nnz(at, descending=True)
-        self.wp = pack(at, cfg, row_order=order, col_order=order)
+        self.wp = pack(at, cfg, split_max="auto", col_order=order)
         self.op = SpmvOperator(self.wp, interpret=interpret)
         self.inv = np.empty(self.n, np.int64)
         self.inv[order] = np.arange(self.n)
-        self.n_slots = self.wp.n_blocks * cfg.rows_per_block
-
-    def _y_to_rank(self, y):
-        return y_to_rank(self.wp, y)
+        self.wp_C, self.op_C = build_combine(self.wp, self.n, order,
+                                             "max_times", interpret)
+        self.n_slots = self.wp_C.n_blocks * self.wp_C.config.rows_per_block
 
     def run(self, source: int, max_iters: int | None = None) -> np.ndarray:
         """Returns BFS level per node (-1 = unreachable)."""
@@ -232,7 +256,8 @@ class BFS:
         return ids[ids >= 0]
 
     def _step(self, frontier, reached):
-        y = self._y_to_rank(self.op(frontier, renamed=True))
+        raw = self.op(frontier[:self.n], renamed=True)
+        y = y_to_rank(self.wp_C, self.op_C(raw, renamed=True))
         y = jnp.where(y > 0, 1.0, 0.0)
         newly = jnp.maximum(y - reached, 0.0)
         reached2 = jnp.maximum(reached, y)
