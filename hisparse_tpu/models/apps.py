@@ -55,6 +55,21 @@ def y_to_rank(wp, y_renamed):
 from ..ops.spmv import SpmvOperator, _spmv_call
 
 
+def _op_args(op):
+    base = (op.vals, op.idxT, op.part, op.block, op.first, op.last)
+    return base + ((op.cmap,) if op.cmap is not None else ())
+
+
+def _op_call(op, x, args):
+    if op.cmap is not None:
+        *arr, cmap = args
+    else:
+        arr, cmap = args, None
+    return _spmv_call(*arr, x, cmap, cfg=op.cfg, n_blocks=op.wp.n_blocks,
+                      n_parts=op.wp.n_parts, interpret=op.interpret,
+                      variant=op.variant)
+
+
 class PageRank:
     """Power-iteration PageRank on a square adjacency matrix.
 
@@ -108,14 +123,22 @@ class PageRank:
         self.valid = jnp.asarray(valid_rank)
         self._uses_combine = True
 
-    def _step(self, x_rank):
-        """x_rank: length n_slots_rank, rank layout (slot i = row
-        order_cols[i]); returns the next x in the same layout."""
-        y = self.op(x_rank[:self.n], renamed=True)
-        combined = self.op_C(y, renamed=True)
-        xr = y_to_rank(self.wp_C, combined)
-        return (self.damping * xr
-                + (1.0 - self.damping) / self.n * self.valid)
+    def step_fn(self):
+        """(fn, args): a jittable step taking the stream arrays as explicit
+        arguments (closing over device arrays would embed gigabytes of
+        constants in the compiled module)."""
+        nA = len(_op_args(self.op))
+        opA, opC, wp_C = self.op, self.op_C, self.wp_C
+        n, damping, valid = self.n, self.damping, self.valid
+
+        def fn(x, *arrs):
+            a_args, c_args = arrs[:nA], arrs[nA:]
+            y = _op_call(opA, x[:n], a_args).reshape(-1)
+            combined = _op_call(opC, y, c_args).reshape(-1)
+            xr = y_to_rank(wp_C, combined)
+            return damping * xr + (1.0 - damping) / n * valid
+
+        return fn, _op_args(self.op) + _op_args(self.op_C)
 
     def run(self, iters: int = 20, x0: np.ndarray | None = None) -> np.ndarray:
         """Run power iterations; returns the PageRank vector in original
@@ -127,16 +150,12 @@ class PageRank:
             # rank slot i holds original row order_cols[i]
             xr[self.inv] = x0
         x = jnp.asarray(xr)
-        step = jax.jit(self._step) if not self.op.interpret else self._step
+        fn, args = self.step_fn()
+        step = jax.jit(fn) if not self.op.interpret else fn
         for _ in range(iters):
-            x = step(x)
+            x = step(x, *args)
         out = np.asarray(x)
         return out[self.inv]
-
-    def step_fn(self):
-        """A jittable (x_rank -> x_rank) step for benchmarking and
-        multi-chip dry runs."""
-        return self._step
 
 
 def pagerank(adj: CSRMatrix, iters: int = 20,

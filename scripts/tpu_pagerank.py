@@ -19,12 +19,10 @@ ref = pagerank_reference(m, iters=15)
 err = np.abs(got - ref).max() / ref.max()
 print("PageRank correct:", err < 2e-3, f"(rel {err:.1e})", flush=True)
 
-# time one fused step (spmv + damped update)
-step = pr.step_fn()
+# time one fused step (spmv + combine + damped update)
+fn, args = pr.step_fn()
 x0 = jnp.asarray(np.random.default_rng(0).random(pr.n_slots_rank).astype(np.float32) / pr.n)
-def fn(x):
-    return step(x)
-dt = device_loop_time(fn, x0)
+dt = device_loop_time(fn, x0, *args)
 gops = 2 * m.nnz / dt / 1e9
 print(f"PageRank step: {dt*1e3:.3f} ms | {gops:.1f} GOPS | "
       f"{1/dt:.0f} iters/s on {m.nnz/1e6:.1f}M-edge graph", flush=True)
