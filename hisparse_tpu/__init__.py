@@ -12,13 +12,17 @@ from .config import LANES, SpmvConfig, GRAPH_CONFIG, NN_CONFIG
 from .formats.csr import (CSRMatrix, load_npz, save_npz, round_dims,
                           normalize_by_outdegree, dense_csr,
                           uniform_sparse_csr, powerlaw_csr)
-from .formats.wavepack import Wavepack, pack, decode
+from .formats.wavepack import (Wavepack, pack, decode, save_wavepack,
+                               load_wavepack)
 from .ops.spmv import SpmvOperator, spmv
+from .ops.dense import DenseOperator, SpmmOperator, choose_format
 
 __all__ = [
     "LANES", "SpmvConfig", "GRAPH_CONFIG", "NN_CONFIG",
     "CSRMatrix", "load_npz", "save_npz", "round_dims",
     "normalize_by_outdegree", "dense_csr", "uniform_sparse_csr",
-    "powerlaw_csr", "Wavepack", "pack", "decode", "SpmvOperator", "spmv",
+    "powerlaw_csr", "Wavepack", "pack", "decode", "save_wavepack",
+    "load_wavepack", "SpmvOperator", "spmv", "DenseOperator", "SpmmOperator",
+    "choose_format",
 ]
 __version__ = "0.1.0"

@@ -265,7 +265,9 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     the C++ production packer with identical output (validated against this
     one in tests).
     """
+    from ..utils.tracing import log_phase
     cfg = config or SpmvConfig()
+    log_phase(f"pack: {m.num_rows}x{m.num_cols} nnz={m.nnz} cfg={cfg}")
     orig_num_rows = m.num_rows
     if split_max == "auto":
         # bound hub rows near the mean so no single row dominates its
