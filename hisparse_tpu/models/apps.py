@@ -22,19 +22,32 @@ from ..formats.wavepack import pack
 
 def build_combine(wp_A, n_rows, order_rows, semiring, interpret):
     """Build the on-device partial-combine operator: a wavepack SpMV over
-    the 0/1 selection matrix mapping A's y slots to rank layout, with the
-    semiring's identity weights (0 for min_plus so combine=min, 1
-    otherwise)."""
-    import dataclasses as _dc
+    the 0/1 selection matrix mapping A's partial results back to rank
+    layout, with the semiring's identity weights (0 for min_plus so
+    combine=min, 1 otherwise).
+
+    C consumes A's y in RANK layout (one free transpose away): there a
+    row's virtual partials sit at consecutive positions, so C's columns
+    spread across banks instead of aliasing one bank (stride-128 y-slot
+    columns would all share bank j = c % 128)."""
     import scipy.sparse as sp
     from ..config import SpmvConfig as _SC
     from ..formats.csr import CSRMatrix as _CM
     perm = wp_A.perm
     n_slots_y = perm.shape[0]
-    valid = np.nonzero(perm < n_rows)[0]
+    cfgA = wp_A.config
+    NB, R = wp_A.n_blocks, cfgA.stripes
+    # rank r lives at y slot (r%NB)*RPB + ((r//NB)%R)*128 + (r//NB)//R;
+    # perm indexed in rank order gives each rank's original row
+    ranks = np.arange(n_slots_y)
+    yslot_of_rank = ((ranks % NB) * cfgA.rows_per_block
+                     + ((ranks // NB) % R) * 128 + (ranks // NB) // R)
+    perm_rank = perm[yslot_of_rank]
+    valid = np.nonzero(perm_rank < n_rows)[0]
     w = np.zeros(valid.size, np.float32) if semiring == "min_plus" \
         else np.ones(valid.size, np.float32)
-    C = sp.csr_matrix((w, (perm[valid], valid)), shape=(n_rows, n_slots_y))
+    C = sp.csr_matrix((w, (perm_rank[valid], valid)),
+                      shape=(n_rows, n_slots_y))
     c_cfg = _SC(sublanes=512, bank_blocks=8, stripes=512, two_choice=True,
                 semiring=semiring)
     wp_C = pack(_CM(n_rows, n_slots_y, np.asarray(C.data, np.float32),
@@ -101,23 +114,10 @@ class PageRank:
         # column-rank layout: slot i holds original row order_cols[i]
         self.inv = np.empty(self.n, np.int64)
         self.inv[order_cols] = np.arange(self.n)
-        # combine matrix C: x_rank[i] = sum of y slots s with
-        # perm[s] == order_cols[i]
-        perm = self.wp.perm
-        valid = np.nonzero(perm < self.n)[0]
-        import scipy.sparse as sp
-        C = sp.csr_matrix(
-            (np.ones(valid.size, np.float32),
-             (perm[valid], valid)),
-            shape=(self.n, self.n_slots_y))
-        needs_combine = valid.size > self.n or (
-            np.bincount(perm[valid], minlength=self.n) > 1).any()
-        c_cfg = SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
-                           two_choice=True)
-        self.wp_C = pack(CSRMatrix.from_scipy(C), c_cfg,
-                         row_order=order_cols)
-        self.op_C = SpmvOperator(self.wp_C, interpret=interpret)
-        self.n_slots_rank = self.wp_C.n_blocks * c_cfg.rows_per_block
+        self.wp_C, self.op_C = build_combine(self.wp, self.n, order_cols,
+                                             "plus_times", interpret)
+        self.n_slots_rank = (self.wp_C.n_blocks
+                             * self.wp_C.config.rows_per_block)
         valid_rank = np.zeros(self.n_slots_rank, np.float32)
         valid_rank[:self.n] = 1.0
         self.valid = jnp.asarray(valid_rank)
@@ -130,11 +130,13 @@ class PageRank:
         nA = len(_op_args(self.op))
         opA, opC, wp_C = self.op, self.op_C, self.wp_C
         n, damping, valid = self.n, self.damping, self.valid
+        wp_A = self.wp
 
         def fn(x, *arrs):
             a_args, c_args = arrs[:nA], arrs[nA:]
             y = _op_call(opA, x[:n], a_args).reshape(-1)
-            combined = _op_call(opC, y, c_args).reshape(-1)
+            y_rank = y_to_rank(wp_A, y)
+            combined = _op_call(opC, y_rank, c_args).reshape(-1)
             xr = y_to_rank(wp_C, combined)
             return damping * xr + (1.0 - damping) / n * valid
 
@@ -215,7 +217,8 @@ class SSSP:
 
     def _step(self, x):
         y = self.op(x[:self.n], renamed=True)
-        combined = self.op_C(y, renamed=True)
+        y_rank = y_to_rank(self.wp, y)
+        combined = self.op_C(y_rank, renamed=True)
         return jnp.minimum(x, y_to_rank(self.wp_C, combined))
 
 
@@ -276,7 +279,8 @@ class BFS:
 
     def _step(self, frontier, reached):
         raw = self.op(frontier[:self.n], renamed=True)
-        y = y_to_rank(self.wp_C, self.op_C(raw, renamed=True))
+        raw_rank = y_to_rank(self.wp, raw)
+        y = y_to_rank(self.wp_C, self.op_C(raw_rank, renamed=True))
         y = jnp.where(y > 0, 1.0, 0.0)
         newly = jnp.maximum(y - reached, 0.0)
         reached2 = jnp.maximum(reached, y)
