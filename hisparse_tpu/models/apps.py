@@ -20,16 +20,24 @@ from ..formats.csr import CSRMatrix, argsort_rows_by_nnz, normalize_by_outdegree
 from ..formats.wavepack import pack
 
 
-def build_combine(wp_A, n_rows, order_rows, semiring, interpret):
-    """Build the on-device partial-combine operator: a wavepack SpMV over
-    the 0/1 selection matrix mapping A's partial results back to rank
-    layout, with the semiring's identity weights (0 for min_plus so
-    combine=min, 1 otherwise).
+def build_combine(wp_A, n_rows, order_rows, semiring, interpret,
+                  fanout_cap: int = 32):
+    """Build the on-device partial-combine pipeline: wavepack SpMVs over
+    0/1 selection matrices folding A's partials back to rank layout, with
+    the semiring's identity weights (0 for min_plus so combine=min, 1
+    otherwise).
 
-    C consumes A's y in RANK layout (one free transpose away): there a
-    row's virtual partials sit at consecutive positions, so C's columns
-    spread across banks instead of aliasing one bank (stride-128 y-slot
-    columns would all share bank j = c % 128)."""
+    The combine consumes A's y in RANK layout (one free transpose away):
+    there a row's virtual partials sit at consecutive positions, so the
+    selection columns spread across banks instead of aliasing one bank
+    (stride-128 y-slot columns share bank j = c % 128).
+
+    Heavily-split hub rows would make the selection matrix itself hubby
+    (one wave per partial), so the combine is a TREE: levels reduce each
+    row's partials in chunks of fanout_cap until one value per row remains
+    (at most 2 levels in practice).  Returns a list of (Wavepack,
+    SpmvOperator); apply in order with y_to_rank between levels.
+    """
     import scipy.sparse as sp
     from ..config import SpmvConfig as _SC
     from ..formats.csr import CSRMatrix as _CM
@@ -37,24 +45,74 @@ def build_combine(wp_A, n_rows, order_rows, semiring, interpret):
     n_slots_y = perm.shape[0]
     cfgA = wp_A.config
     NB, R = wp_A.n_blocks, cfgA.stripes
-    # rank r lives at y slot (r%NB)*RPB + ((r//NB)%R)*128 + (r//NB)//R;
-    # perm indexed in rank order gives each rank's original row
+    # rank r lives at y slot (r%NB)*RPB + ((r//NB)%R)*128 + (r//NB)//R
     ranks = np.arange(n_slots_y)
     yslot_of_rank = ((ranks % NB) * cfgA.rows_per_block
                      + ((ranks // NB) % R) * 128 + (ranks // NB) // R)
     perm_rank = perm[yslot_of_rank]
-    valid = np.nonzero(perm_rank < n_rows)[0]
-    w = np.zeros(valid.size, np.float32) if semiring == "min_plus" \
-        else np.ones(valid.size, np.float32)
-    C = sp.csr_matrix((w, (perm_rank[valid], valid)),
-                      shape=(n_rows, n_slots_y))
+
+    # current layer: for each input position, its target original row
+    # (-1 = padding); positions of one row are consecutive in rank order
+    target = np.where(perm_rank < n_rows, perm_rank, -1)
+    levels = []
     c_cfg = _SC(sublanes=512, bank_blocks=8, stripes=512, two_choice=True,
                 semiring=semiring)
-    wp_C = pack(_CM(n_rows, n_slots_y, np.asarray(C.data, np.float32),
-                    np.asarray(C.indices, np.int32),
-                    np.asarray(C.indptr, np.int64)),
-                c_cfg, row_order=order_rows)
-    return wp_C, SpmvOperator(wp_C, interpret=interpret)
+    width = n_slots_y
+    while True:
+        valid = np.nonzero(target >= 0)[0]
+        rows_t = target[valid]
+        # chunk each row's positions into groups of fanout_cap
+        order_pos = np.lexsort((valid, rows_t))
+        rt, vp = rows_t[order_pos], valid[order_pos]
+        new_row = np.r_[True, rt[1:] != rt[:-1]]
+        within = np.arange(rt.size) - np.maximum.accumulate(
+            np.where(new_row, np.arange(rt.size), 0))
+        chunk = within // fanout_cap
+        last_level = (chunk == 0).all()
+        if last_level:
+            group_ids = rt            # final: group = original row
+            n_groups = n_rows
+            row_of_group = None
+        else:
+            key = rt.astype(np.int64) * (within.max() // fanout_cap + 1) + chunk
+            uniq, group_ids = np.unique(key, return_inverse=True)
+            n_groups = uniq.size
+            row_of_group = (uniq // (within.max() // fanout_cap + 1))
+        w = (np.zeros(vp.size, np.float32) if semiring == "min_plus"
+             else np.ones(vp.size, np.float32))
+        C = sp.csr_matrix((w, (group_ids, vp)), shape=(n_groups, width))
+        ro = order_rows if last_level else None
+        wp_C = pack(_CM(n_groups, width, np.asarray(C.data, np.float32),
+                        np.asarray(C.indices, np.int32),
+                        np.asarray(C.indptr, np.int64)),
+                    c_cfg, row_order=ro)
+        levels.append((wp_C, SpmvOperator(wp_C, interpret=interpret)))
+        if last_level:
+            return levels
+        # next layer input = this level's rank-layout output
+        width = wp_C.n_blocks * c_cfg.rows_per_block
+        permC = wp_C.perm
+        ranksC = np.arange(width)
+        yslotC = ((ranksC % wp_C.n_blocks) * c_cfg.rows_per_block
+                  + ((ranksC // wp_C.n_blocks) % c_cfg.stripes) * 128
+                  + (ranksC // wp_C.n_blocks) // c_cfg.stripes)
+        grp_rank = permC[yslotC]
+        ok = grp_rank < n_groups
+        target = np.where(
+            ok, row_of_group[np.minimum(grp_rank, n_groups - 1)], -1)
+
+
+def apply_combine(levels, y_rank, op_args_list=None):
+    """Fold partials through the combine tree; input and output are rank
+    layouts."""
+    x = y_rank
+    for i, (wp_C, op_C) in enumerate(levels):
+        if op_args_list is not None:
+            x = _op_call(op_C, x, op_args_list[i]).reshape(-1)
+        else:
+            x = op_C(x, renamed=True)
+        x = y_to_rank(wp_C, x)
+    return x
 
 
 def y_to_rank(wp, y_renamed):
@@ -114,10 +172,11 @@ class PageRank:
         # column-rank layout: slot i holds original row order_cols[i]
         self.inv = np.empty(self.n, np.int64)
         self.inv[order_cols] = np.arange(self.n)
-        self.wp_C, self.op_C = build_combine(self.wp, self.n, order_cols,
-                                             "plus_times", interpret)
-        self.n_slots_rank = (self.wp_C.n_blocks
-                             * self.wp_C.config.rows_per_block)
+        self.combine = build_combine(self.wp, self.n, order_cols,
+                                     "plus_times", interpret)
+        wp_last = self.combine[-1][0]
+        self.n_slots_rank = (wp_last.n_blocks
+                             * wp_last.config.rows_per_block)
         valid_rank = np.zeros(self.n_slots_rank, np.float32)
         valid_rank[:self.n] = 1.0
         self.valid = jnp.asarray(valid_rank)
@@ -128,19 +187,28 @@ class PageRank:
         arguments (closing over device arrays would embed gigabytes of
         constants in the compiled module)."""
         nA = len(_op_args(self.op))
-        opA, opC, wp_C = self.op, self.op_C, self.wp_C
+        opA, combine = self.op, self.combine
         n, damping, valid = self.n, self.damping, self.valid
         wp_A = self.wp
+        c_lens = [len(_op_args(op)) for _, op in combine]
 
         def fn(x, *arrs):
-            a_args, c_args = arrs[:nA], arrs[nA:]
+            a_args = arrs[:nA]
+            rest = arrs[nA:]
+            c_args = []
+            off = 0
+            for ln in c_lens:
+                c_args.append(rest[off:off + ln])
+                off += ln
             y = _op_call(opA, x[:n], a_args).reshape(-1)
-            y_rank = y_to_rank(wp_A, y)
-            combined = _op_call(opC, y_rank, c_args).reshape(-1)
-            xr = y_to_rank(wp_C, combined)
+            xr = y_to_rank(wp_A, y)
+            xr = apply_combine(combine, xr, c_args)
             return damping * xr + (1.0 - damping) / n * valid
 
-        return fn, _op_args(self.op) + _op_args(self.op_C)
+        args = _op_args(self.op)
+        for _, op in combine:
+            args = args + _op_args(op)
+        return fn, args
 
     def run(self, iters: int = 20, x0: np.ndarray | None = None) -> np.ndarray:
         """Run power iterations; returns the PageRank vector in original
@@ -200,9 +268,10 @@ class SSSP:
         self.op = SpmvOperator(self.wp, interpret=interpret)
         self.inv = np.empty(self.n, np.int64)
         self.inv[order] = np.arange(self.n)
-        self.wp_C, self.op_C = build_combine(self.wp, self.n, order,
-                                             "min_plus", interpret)
-        self.n_slots = self.wp_C.n_blocks * self.wp_C.config.rows_per_block
+        self.combine = build_combine(self.wp, self.n, order,
+                                     "min_plus", interpret)
+        wp_last = self.combine[-1][0]
+        self.n_slots = wp_last.n_blocks * wp_last.config.rows_per_block
 
     def run(self, source: int, iters: int | None = None) -> np.ndarray:
         iters = iters if iters is not None else self.n - 1
@@ -218,8 +287,7 @@ class SSSP:
     def _step(self, x):
         y = self.op(x[:self.n], renamed=True)
         y_rank = y_to_rank(self.wp, y)
-        combined = self.op_C(y_rank, renamed=True)
-        return jnp.minimum(x, y_to_rank(self.wp_C, combined))
+        return jnp.minimum(x, apply_combine(self.combine, y_rank))
 
 
 def sssp_reference(adj: CSRMatrix, source: int) -> np.ndarray:
@@ -247,9 +315,10 @@ class BFS:
         self.op = SpmvOperator(self.wp, interpret=interpret)
         self.inv = np.empty(self.n, np.int64)
         self.inv[order] = np.arange(self.n)
-        self.wp_C, self.op_C = build_combine(self.wp, self.n, order,
-                                             "max_times", interpret)
-        self.n_slots = self.wp_C.n_blocks * self.wp_C.config.rows_per_block
+        self.combine = build_combine(self.wp, self.n, order,
+                                     "max_times", interpret)
+        wp_last = self.combine[-1][0]
+        self.n_slots = wp_last.n_blocks * wp_last.config.rows_per_block
 
     def run(self, source: int, max_iters: int | None = None) -> np.ndarray:
         """Returns BFS level per node (-1 = unreachable)."""
@@ -280,7 +349,7 @@ class BFS:
     def _step(self, frontier, reached):
         raw = self.op(frontier[:self.n], renamed=True)
         raw_rank = y_to_rank(self.wp, raw)
-        y = y_to_rank(self.wp_C, self.op_C(raw_rank, renamed=True))
+        y = apply_combine(self.combine, raw_rank)
         y = jnp.where(y > 0, 1.0, 0.0)
         newly = jnp.maximum(y - reached, 0.0)
         reached2 = jnp.maximum(reached, y)

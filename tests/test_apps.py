@@ -67,3 +67,18 @@ def test_pagerank_hub_graph_split_combine():
     got = pr.run(iters=10)
     ref = pagerank_reference(m, iters=10)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-8)
+
+
+def test_pagerank_megahub_multilevel_combine():
+    """A 2000-degree hub forces a 2-level combine tree."""
+    import scipy.sparse as sp
+    from hisparse_tpu import CSRMatrix
+    base = sp.random(3000, 3000, density=0.002, random_state=3, format="lil")
+    base[5, :2000] = 1.0
+    m = CSRMatrix.from_scipy(sp.csr_matrix(base))
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128)
+    pr = PageRank(m, cfg, interpret=True)
+    assert len(pr.combine) == 2
+    got = pr.run(iters=8)
+    ref = pagerank_reference(m, iters=8)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-8)
