@@ -27,19 +27,30 @@ sys.path.insert(0, "/root/repo")
 BASELINE_GOPS = 16.7
 
 
-def tune_grid():
+def tune_grid(num_rows=None):
+    """Design points for the auto-tuner; stripes scale with the row count
+    so small matrices don't drown in empty block slots."""
     from hisparse_tpu import SpmvConfig
+    if num_rows is None:
+        r_big = [512]
+    else:
+        want = max(1, -(-num_rows // 128))
+        r_big = sorted({min(512, 1 << max(7, (want - 1).bit_length())),
+                        512})
     pts = []
-    for B in (4, 8, 16):
-        pts.append((SpmvConfig(sublanes=512, bank_blocks=B, stripes=512,
-                               two_choice=True, block_major=True,
-                               classes_per_group=4, steal_mantissa=True),
+    for R in r_big:
+        for B in (4, 8, 16):
+            pts.append((SpmvConfig(sublanes=512, bank_blocks=B, stripes=R,
+                                   two_choice=True, block_major=True,
+                                   classes_per_group=4,
+                                   steal_mantissa=True), "auto"))
+        pts.append((SpmvConfig(sublanes=512, bank_blocks=2, stripes=R,
+                               two_choice=True, steal_mantissa=True),
                     "auto"))
-    pts.append((SpmvConfig(sublanes=512, bank_blocks=2, stripes=512,
-                           two_choice=True, steal_mantissa=True), "auto"))
-    pts.append((SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
-                           two_choice=False), "auto"))
-    for R in (4, 16):
+        pts.append((SpmvConfig(sublanes=512, bank_blocks=8, stripes=R,
+                               two_choice=False), "auto"))
+    # small/dense-rows regimes
+    for R in (4, 16, 32):
         pts.append((SpmvConfig(sublanes=512, bank_blocks=2, stripes=R,
                                two_choice=True), None))
     return pts
@@ -70,7 +81,8 @@ def main():
     gops_list = []
     for name, m in suite:
         t0 = time.perf_counter()
-        cfg, split = best_config(m, grid=tune_grid(), sample_max_rows=50000)
+        cfg, split = best_config(m, grid=tune_grid(m.num_rows),
+                                 sample_max_rows=50000)
         wp = pack(m, cfg, split_max=split)
         pre = time.perf_counter() - t0
         op = SpmvOperator(wp, interpret=not on_tpu)
