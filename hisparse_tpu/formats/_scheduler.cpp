@@ -181,6 +181,7 @@ extern "C" int64_t wp_schedule_bm(
     const int32_t* bank2,
     int32_t R, int32_t S, int32_t CT, int32_t K,
     const int64_t* order,            // lexsort((pos, h, bank, cls, sigma))
+    int64_t min_tile,                // early stop: placements/tile floor
     int64_t* t_of, int64_t* s_of, int32_t* lane_of, int32_t* bsel_of,
     uint8_t* choice_of,
     int32_t* class_map, int64_t cap_tiles) {
@@ -249,12 +250,14 @@ extern "C" int64_t wp_schedule_bm(
                      });
 
   std::vector<BmItem*> keep, modified, merged;
+  for (int64_t q = 0; q < n; ++q) t_of[q] = -1;
   int64_t t = 0;
   int64_t wave_id = 0;
   int64_t scores[64];
   int32_t top[8];
   while (total > 0) {
     if (t >= cap_tiles) return -(t + 64);   // ask caller to grow
+    int64_t placed_tile = 0;
     for (int32_t g = 0; g < G; ++g) {
       int32_t gmod = g % Rp;
       for (int32_t c = 0; c < CT; ++c) {
@@ -328,6 +331,7 @@ extern "C" int64_t wp_schedule_bm(
             if (placed) {
               used_banks[lane] = true;
               placed_rows += placed;
+              placed_tile += placed;
               it->remaining -= placed;
               it->stamp = wave_id;
               total -= placed;
@@ -357,6 +361,7 @@ extern "C" int64_t wp_schedule_bm(
       }
     }
     ++t;
+    if (min_tile > 0 && placed_tile < min_tile) break;
   }
   if (t == 0) {
     if (cap_tiles < 1) return -64;

@@ -49,7 +49,8 @@ def _load():
             lib.wp_schedule_bm.argtypes = [
                 ctypes.c_int64, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-                ctypes.c_int32, i64p, i64p, i64p, i32p, i32p,
+                ctypes.c_int32, i64p, ctypes.c_int64,
+                i64p, i64p, i32p, i32p,
                 ctypes.POINTER(ctypes.c_uint8), i32p, ctypes.c_int64]
             lib.wp_schedule_bm.restype = ctypes.c_int64
             _lib = lib
@@ -86,7 +87,8 @@ def schedule_segments(seg_bounds: np.ndarray, stripe: np.ndarray,
     return k_of, choice
 
 
-def schedule_bm(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT, K):
+def schedule_bm(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT, K,
+                stop_frac=0.0):
     """Block-major scheduler; returns
     (t_of, s_of, lane_of, bsel_of, choice_of, class_map)."""
     lib = _load()
@@ -96,9 +98,9 @@ def schedule_bm(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT, K):
             for a in (sigma, lam, bank, h, cls, cls2, bank2)]
     order = np.ascontiguousarray(
         np.lexsort((np.arange(n), h, bank, cls, sigma)), np.int64)
-    t_of = np.empty(n, np.int64)
-    s_of = np.empty(n, np.int64)
-    lane_of = np.empty(n, np.int32)
+    t_of = np.full(n, -1, np.int64)
+    s_of = np.zeros(n, np.int64)
+    lane_of = np.zeros(n, np.int32)
     bsel_of = np.zeros(n, np.int32)
     choice_of = np.zeros(n, np.uint8)
     G = S // 128
@@ -113,6 +115,7 @@ def schedule_bm(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT, K):
             ctypes.c_int32(R), ctypes.c_int32(S), ctypes.c_int32(CT),
             ctypes.c_int32(K),
             order.ctypes.data_as(i64p),
+            ctypes.c_int64(int(stop_frac * S * 128)),
             t_of.ctypes.data_as(i64p), s_of.ctypes.data_as(i64p),
             lane_of.ctypes.data_as(i32p), bsel_of.ctypes.data_as(i32p),
             choice_of.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

@@ -247,7 +247,9 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
 def pack(m: CSRMatrix, config: SpmvConfig | None = None,
          row_order: np.ndarray | None = None,
          split_max: int | None | str = None,
-         col_order: np.ndarray | None = None) -> Wavepack:
+         col_order: np.ndarray | None = None,
+         _stop_frac: float = 0.0,
+         _leftover_out: dict | None = None) -> Wavepack:
     """Pack a CSR matrix into wavepack streams (csr2cpsr analog,
     data_formatter.h:465-544).
 
@@ -381,8 +383,10 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
                          else _schedule_block_major)
                 res = sched(
                     so[sl], lo[sl], jo[sl], (ao[sl] % 128).astype(np.int32),
-                    cls_o[sl], cls2_o[sl], b2x[sl], R, S, CT, K)
+                    cls_o[sl], cls2_o[sl], b2x[sl], R, S, CT, K,
+                    stop_frac=_stop_frac)
                 t_l, s_l, ln, bs, ch, cm = res
+                t_l = np.where(t_l < 0, np.int64(-10**9), t_l)
                 t_glob[sl] = t_l + off
                 s_loc[sl] = s_l
                 lane_used[sl] = ln
@@ -393,6 +397,21 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
                 off += cm.shape[0]
             class_map = np.concatenate(cmaps).astype(np.int32)
             T_total = int(off)
+            placed_mask = t_glob >= 0
+            if _leftover_out is not None:
+                _leftover_out["nz"] = order[np.nonzero(~placed_mask)[0]]
+            if not placed_mask.all():
+                keepm = placed_mask
+                t_glob, s_loc = t_glob[keepm], s_loc[keepm]
+                lane_used, bsel = lane_used[keepm], bsel[keepm]
+                choice = choice[keepm]
+                bo, po = bo[keepm], po[keepm]
+                so, lo = so[keepm], lo[keepm]
+                jo, ao = jo[keepm], ao[keepm]
+                if b2o is not None:
+                    b2o = b2o[keepm]
+                order = order[keepm]
+                nnz_total = int(keepm.sum())
         else:
             k_of, choice = _schedule_segments(seg_bounds, so, lo, jo, ao,
                                               b2o)
@@ -581,7 +600,7 @@ def load_wavepack(path) -> Wavepack:
 
 
 def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
-                          K):
+                          K, stop_frac=0.0):
     """Class-group scheduler: every 128-wave group of a tile serves K
     x-blocks ("classes"), chosen per group by pending demand, so the kernel
     needs only K gathers + K-1 selects per group regardless of the block
@@ -597,9 +616,9 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
     n = sigma.shape[0]
     G = S // 128
     Rp = R // 128                      # stripe-groups per block
-    t_of = np.empty(n, np.int64)
-    s_of = np.empty(n, np.int64)
-    lane_of = np.empty(n, np.int32)
+    t_of = np.full(n, -1, np.int64)
+    s_of = np.zeros(n, np.int64)
+    lane_of = np.zeros(n, np.int32)
     bsel_of = np.zeros(n, np.int32)
     choice_of = np.zeros(n, np.uint8)
 
@@ -643,7 +662,9 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
                 total += e[0]
     t = 0
     wave_id = 0
+    min_tile = int(stop_frac * S * LANES)
     while total > 0:
+        placed_tile = 0
         cm_row = np.zeros((G, K), np.int32)
         for g in range(G):
             gmod = g % Rp
@@ -709,6 +730,7 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
                         if placed:
                             used_banks[lane] = 1
                             placed_rows += placed
+                            placed_tile += placed
                             ent[0] = len(q)
                             ent[6] = wave_id
                             total -= placed
@@ -730,7 +752,73 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
                     pend[(sg, c)] = merged
         class_map.append(cm_row)
         t += 1
+        if min_tile and placed_tile < min_tile:
+            break
     if not class_map:
         class_map.append(np.zeros((G, K), np.int32))
         t = 1
     return t_of, s_of, lane_of, bsel_of, choice_of, np.stack(class_map)
+
+
+def pack_hybrid(m: CSRMatrix, cfg_bulk: SpmvConfig,
+                cfg_tail: SpmvConfig | None = None,
+                split_max: int | None | str = "auto",
+                stop_frac: float = 0.25,
+                col_order: np.ndarray | None = None):
+    """Two-phase packing: the block-major scheduler packs the bulk and
+    stops when tiles go thin (the coupon-collector tail of sparse stripes);
+    the leftovers repack through the select-chain path, which serves every
+    block per wave.  Both packs share the split, renaming and y geometry,
+    so y = y_bulk + y_tail elementwise in renamed space.
+
+    fp32 plus_times only (the elementwise merge is a plain add).
+    Returns (wp_bulk, wp_tail).
+    """
+    if not cfg_bulk.block_major:
+        raise ValueError("pack_hybrid needs a block-major bulk config")
+    if cfg_bulk.dtype != "fp32" or cfg_bulk.semiring != "plus_times":
+        raise ValueError("pack_hybrid supports fp32 plus_times only")
+    if cfg_tail is None:
+        import dataclasses as _dc
+        cfg_tail = _dc.replace(cfg_bulk, block_major=False,
+                               bank_blocks=min(cfg_bulk.bank_blocks, 8),
+                               two_choice=cfg_bulk.bank_blocks <= 8
+                               and cfg_bulk.two_choice)
+    if (cfg_tail.sublanes != cfg_bulk.sublanes
+            or cfg_tail.stripes != cfg_bulk.stripes):
+        raise ValueError("bulk and tail must share sublanes/stripes "
+                         "(same y geometry)")
+    orig_rows = m.num_rows
+    if split_max == "auto":
+        mean = max(float(m.nnz) / max(m.num_rows, 1), 1.0)
+        split_max = max(8, 1 << int(np.ceil(np.log2(mean))))
+    if split_max is not None:
+        from .csr import split_rows
+        m2, row_map = split_rows(m, split_max)
+    else:
+        m2, row_map = m, np.arange(m.num_rows, dtype=np.int64)
+    row_order = argsort_rows_by_nnz(m2, descending=True)
+
+    lo_out: dict = {}
+    wp_bulk = pack(m2, cfg_bulk, row_order=row_order, col_order=col_order,
+                   _stop_frac=stop_frac, _leftover_out=lo_out)
+    left = lo_out.get("nz", np.zeros(0, np.int64))
+    rows_of_nz = np.repeat(np.arange(m2.num_rows), m2.row_nnz())
+    import scipy.sparse as sp
+    coo = sp.coo_matrix((m2.data[left],
+                         (rows_of_nz[left], m2.indices[left])),
+                        shape=(m2.num_rows, m2.num_cols))
+    m_tail = CSRMatrix.from_scipy(coo.tocsr())
+    wp_tail = pack(m_tail, cfg_tail, row_order=row_order,
+                   col_order=col_order)
+    # fix up both perms to map to ORIGINAL rows (pack applied row_map only
+    # when it did the splitting itself)
+    for wp in (wp_bulk, wp_tail):
+        p = wp.perm
+        wp.perm = np.where(p < m2.num_rows,
+                           row_map[np.minimum(p, m2.num_rows - 1)],
+                           orig_rows)
+        wp.num_rows = orig_rows
+    assert wp_bulk.perm.shape == wp_tail.perm.shape
+    assert np.array_equal(wp_bulk.perm, wp_tail.perm)
+    return wp_bulk, wp_tail

@@ -404,3 +404,27 @@ class SpmvOperator:
 def spmv(wp: Wavepack, x, interpret: bool = False, variant: str = "auto"):
     """One-shot SpMV y = A @ x from a packed matrix."""
     return SpmvOperator(wp, interpret=interpret, variant=variant)(x)
+
+
+class HybridSpmv:
+    """Bulk (block-major) + tail (select-chain) operator pair sharing one
+    y geometry; y = y_bulk + y_tail (see formats.wavepack.pack_hybrid)."""
+
+    def __init__(self, wp_bulk, wp_tail, interpret: bool = False):
+        self.bulk = SpmvOperator(wp_bulk, interpret=interpret)
+        self.tail = SpmvOperator(wp_tail, interpret=interpret)
+        self.wp = wp_bulk
+        self.nnz = wp_bulk.nnz + wp_tail.nnz
+        self.stream_bytes = wp_bulk.stream_bytes + wp_tail.stream_bytes
+
+    @property
+    def fill(self):
+        slots = ((self.bulk.wp.num_tiles + self.tail.wp.num_tiles)
+                 * self.wp.config.tile_slots)
+        return self.nnz / max(slots, 1)
+
+    def __call__(self, x, renamed: bool = False):
+        y = (self.bulk(x, renamed=True) + self.tail(x, renamed=True))
+        if renamed:
+            return y
+        return self.wp.unpack_y(np.asarray(y))

@@ -119,3 +119,21 @@ def test_block_major_multiblock_paged():
     for variant in ("resident", "paged"):
         y = spmv(wp, x, interpret=True, variant=variant)
         np.testing.assert_allclose(y, ref, atol=1e-4 * scale, rtol=1e-4)
+
+
+def test_hybrid_pack_matches_golden():
+    """Experimental bulk+tail hybrid: block-major bulk with early stop,
+    select-chain tail, summed in shared renamed space."""
+    from hisparse_tpu.formats.wavepack import pack_hybrid
+    from hisparse_tpu.ops.spmv import HybridSpmv
+    cfg = SpmvConfig(sublanes=128, bank_blocks=4, stripes=128,
+                     block_major=True, classes_per_group=2, two_choice=True)
+    m = powerlaw_csr(2000, 30000, 8, alpha=1.3, seed=5)
+    wb, wt = pack_hybrid(m, cfg, stop_frac=0.3)
+    assert wb.nnz + wt.nnz == m.nnz
+    op = HybridSpmv(wb, wt, interpret=True)
+    rng = np.random.default_rng(5)
+    x = rng.random(m.num_cols).astype(np.float32)
+    ref = spmv_f64(m, x)
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(op(x), ref, atol=1e-4 * scale, rtol=1e-4)
