@@ -38,3 +38,25 @@ def test_choose_format():
     sparse_m = uniform_sparse_csr(1000, 10000, 5, seed=5)
     assert choose_format(dense_m) == "dense"
     assert choose_format(sparse_m) == "wavepack"
+
+
+def test_bcsr_spmv():
+    from hisparse_tpu.ops.bcsr import BcsrOperator
+    from hisparse_tpu import powerlaw_csr
+    m = powerlaw_csr(500, 700, 20, seed=6)
+    op = BcsrOperator(m, interpret=True)
+    x = np.random.default_rng(3).random(700).astype(np.float32)
+    ref = spmv_f64(m, x)
+    np.testing.assert_allclose(np.asarray(op(x)), ref, rtol=1e-4,
+                               atol=1e-4 * max(abs(ref).max(), 1))
+
+
+def test_bcsr_spmm_batch64():
+    from hisparse_tpu.ops.bcsr import BcsrOperator
+    m = uniform_sparse_csr(300, 400, 40, seed=7)
+    op = BcsrOperator(m, interpret=True)
+    X = np.random.default_rng(4).random((400, 64)).astype(np.float32)
+    Y = np.asarray(op(X))
+    ref = np.stack([spmv_f64(m, X[:, k]) for k in range(64)], axis=1)
+    np.testing.assert_allclose(Y, ref, rtol=1e-4,
+                               atol=1e-4 * abs(ref).max())
