@@ -54,9 +54,11 @@ def device_loop_time(fn: Callable, x: jax.Array, *args,
         def body(i, carry):
             acc, xx = carry
             y = fn(xx, *args)
-            # perturb the input each iteration so XLA cannot hoist the body
+            # perturb the input each iteration so XLA cannot hoist the
+            # body; the delta must survive the dtype (1e-12 rounds away in
+            # bf16 and the loop body gets hoisted -> impossible numbers)
             if floating:
-                xx = xx + (1e-12 * i).astype(x.dtype)
+                xx = xx + ((i % 2) * 0.5).astype(x.dtype)
             else:
                 xx = xx + (i % 2).astype(x.dtype)
             return acc + y.reshape(-1)[0].astype(jnp.float32), xx
@@ -72,12 +74,13 @@ def device_loop_time(fn: Callable, x: jax.Array, *args,
     est = max((min(timed(32), timed(32)) - 0.03) / 32, 1e-7)
     r1 = 16
     r2 = r1 + max(64, min(int(target_spread_s / est), 20000))
-    best = np.inf
-    for _ in range(2):
+    slopes = []
+    for _ in range(3):
         ta = timed(r1)
         tb = timed(r2)
-        best = min(best, (tb - ta) / (r2 - r1))
-    return max(best, 1e-9)
+        slopes.append((tb - ta) / (r2 - r1))
+    # median of 3: robust to one flaky tunnel round trip in either direction
+    return max(float(np.median(slopes)), 1e-9)
 
 
 @dataclasses.dataclass
