@@ -39,10 +39,10 @@ def tune_grid(num_rows=None):
                         512})
     pts = []
     for R in r_big:
-        for B in (4, 8, 16):
+        for B, K in ((4, 4), (8, 4), (16, 4), (4, 2), (8, 2)):
             pts.append((SpmvConfig(sublanes=512, bank_blocks=B, stripes=R,
                                    two_choice=True, block_major=True,
-                                   classes_per_group=4,
+                                   classes_per_group=K,
                                    steal_mantissa=True), "auto"))
         pts.append((SpmvConfig(sublanes=512, bank_blocks=2, stripes=R,
                                two_choice=True, steal_mantissa=True),

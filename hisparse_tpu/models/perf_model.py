@@ -35,7 +35,7 @@ from ..ops.spmv import resident_bytes, _RESIDENT_VMEM_BUDGET
 # keyed by gather-operand count: select-chain path by total_blocks,
 # block-major path by classes_per_group.  Linear interpolation elsewhere.
 SLOT_RATE_GSLOTS = {1: 55.0, 2: 45.0, 4: 36.0, 8: 19.0, 16: 11.0}
-SLOT_RATE_BM_GSLOTS = {1: 50.0, 2: 44.0, 4: 38.0, 8: 20.0}
+SLOT_RATE_BM_GSLOTS = {1: 60.0, 2: 55.0, 4: 41.0, 8: 24.0}
 
 
 def slot_rate(n_operands: int, block_major: bool = False) -> float:
