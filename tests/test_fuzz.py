@@ -10,7 +10,7 @@ from hisparse_tpu.ops.golden import spmv_f64
 
 CASES = []
 _rng = np.random.default_rng(2026)
-for i in range(8):
+for i in range(16):
     S = int(_rng.choice([128, 256]))
     bm = bool(_rng.integers(0, 2))
     R = int(_rng.choice([128] if bm else [8, 32, 128]))
