@@ -42,7 +42,8 @@ def test_fuzz_roundtrip_and_spmv(i, S, R, B, tc, bm, k, steal, split):
     dec = decode(wp)
     d = np.abs((m.to_scipy() - dec.to_scipy()).toarray()).max()
     scale = max(np.abs(m.data).max() if m.nnz else 1.0, 1.0)
-    tol = 2e-5 if steal else 1e-6
+    # duplicates sum two stolen-mantissa perturbations
+    tol = 5e-5 if steal else 1e-6
     assert d <= tol * scale, f"decode mismatch {d}"
     # kernel vs golden
     x = rng.random(m.num_cols).astype(np.float32)
