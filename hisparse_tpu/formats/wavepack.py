@@ -110,12 +110,20 @@ class Wavepack:
         virtual-row partials with the semiring's additive op (the combine
         step of hub splitting)."""
         sr = self.config.semiring
+        valid = self.perm < self.num_rows
+        if self.config.dtype == "fixed":
+            # saturating unsigned recombine: for nonnegative terms the
+            # order-independent closed form of repeated ap_ufixed AP_SAT
+            # adds is min(true sum, 2^32-1)
+            acc = np.zeros(self.num_rows, np.uint64)
+            np.add.at(acc, self.perm[valid],
+                      y_renamed[valid].astype(np.uint64))
+            return np.minimum(acc, np.uint64(0xFFFFFFFF)).astype(np.uint32)
         init = {"plus_times": 0.0, "min_plus": np.inf,
                 "max_times": -np.inf}[sr]
         ufunc = {"plus_times": np.add, "min_plus": np.minimum,
                  "max_times": np.maximum}[sr]
         out = np.full(self.num_rows, init, y_renamed.dtype)
-        valid = self.perm < self.num_rows
         ufunc.at(out, self.perm[valid], y_renamed[valid])
         if sr == "max_times":
             out = np.maximum(out, 0.0)   # empty rows -> 0
@@ -340,6 +348,8 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
         seg_key = bo.astype(np.int64) * n_parts + po
         seg_starts = np.flatnonzero(np.r_[True, seg_key[1:] != seg_key[:-1]])
         seg_bounds = np.r_[seg_starts, nnz_total]
+        # captured before any leftover filtering re-indexes bo/po
+        seg_block, seg_part = bo[seg_starts], po[seg_starts]
 
         if cfg.two_choice:
             blk_o = ao // 128
@@ -463,8 +473,8 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
                 .swapaxes(2, 3).reshape(T_total, S, LANES).copy())
         vals = va
 
-        t_block_arr = np.repeat(bo[seg_starts], seg_tiles).astype(np.int32)
-        t_part_arr = np.repeat(po[seg_starts], seg_tiles).astype(np.int32)
+        t_block_arr = np.repeat(seg_block, seg_tiles).astype(np.int32)
+        t_part_arr = np.repeat(seg_part, seg_tiles).astype(np.int32)
         first = np.zeros(T_total, np.int32)
         last = np.zeros(T_total, np.int32)
         chg = np.r_[True, t_block_arr[1:] != t_block_arr[:-1]]
@@ -570,33 +580,50 @@ def decode(wp: Wavepack) -> CSRMatrix:
 def save_wavepack(path, wp: Wavepack) -> None:
     """Persist packed streams (the preprocessing artifact; lets hosts skip
     csr2cpsr-equivalent work across runs — the reference re-preprocesses
-    every run and pays seconds per dataset, paper Table 8)."""
+    every run and pays seconds per dataset, paper Table 8).
+
+    Every SpmvConfig field plus the class map round-trips: the decode()
+    oracle on a loaded pack is byte-identical to the original."""
     cfg = wp.config
     np.savez_compressed(
         path,
-        cfg=np.array([cfg.sublanes, cfg.bank_blocks, cfg.stripes],
+        cfg=np.array([cfg.sublanes, cfg.bank_blocks, cfg.stripes,
+                      int(cfg.steal_mantissa), int(cfg.two_choice),
+                      int(cfg.block_major), cfg.classes_per_group],
                      np.int64),
         cfg_dtype=np.array(cfg.dtype),
+        cfg_semiring=np.array(cfg.semiring),
         dims=np.array([wp.num_rows, wp.num_cols, wp.n_blocks, wp.n_parts,
                        wp.nnz], np.int64),
         perm=wp.perm, vals=wp.vals, idxT=wp.idxT,
         tile_part=wp.tile_part, tile_block=wp.tile_block,
         tile_first=wp.tile_first, tile_last=wp.tile_last,
         col_order=(wp.col_order if wp.col_order is not None
-                   else np.zeros(0, np.int64)))
+                   else np.zeros(0, np.int64)),
+        class_map=(wp.class_map if wp.class_map is not None
+                   else np.zeros(0, np.int32)))
 
 
 def load_wavepack(path) -> Wavepack:
     with np.load(path, allow_pickle=False) as f:
-        S, B, R = (int(v) for v in f["cfg"])
+        c = [int(v) for v in f["cfg"]]
+        if len(c) < 7:
+            raise ValueError(
+                "wavepack file predates full-config persistence; re-pack")
+        S, B, R, steal, twoc, bm, K = c
         cfg = SpmvConfig(sublanes=S, bank_blocks=B, stripes=R,
-                         dtype=str(f["cfg_dtype"]))
+                         dtype=str(f["cfg_dtype"]),
+                         steal_mantissa=bool(steal), two_choice=bool(twoc),
+                         semiring=str(f["cfg_semiring"]),
+                         block_major=bool(bm), classes_per_group=K)
         nr, nc, nb, npart, nnz = (int(v) for v in f["dims"])
         co = f["col_order"]
+        cm = f["class_map"]
         return Wavepack(cfg, nr, nc, nb, npart, f["perm"], f["vals"],
                         f["idxT"], f["tile_part"], f["tile_block"],
                         f["tile_first"], f["tile_last"], nnz,
-                        col_order=co if co.size else None)
+                        col_order=co if co.size else None,
+                        class_map=cm if cm.size else None)
 
 
 def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,

@@ -105,8 +105,8 @@ def estimate(m: CSRMatrix, cfg: SpmvConfig, wp: Wavepack,
     tv = x_bytes / (hbm_gbps * 1e9)
     tw = wp.n_blocks * cfg.stripes * LANES * 4 / (hbm_gbps * 1e9)
 
-    stream_t = max(tm, tc, tv)
-    bound = {tm: "hbm-stream", tc: "compute", tv: "x-reload"}[stream_t]
+    terms = [(tm, "hbm-stream"), (tc, "compute"), (tv, "x-reload")]
+    stream_t, bound = max(terms, key=lambda e: e[0])
     t = stream_t + tw
     return PerfEstimate(gops=2 * nnz / t / 1e9, time_s=t, bound=bound,
                         alpha=alpha, beta=beta, tm_s=tm, tv_s=tv, tw_s=tw)

@@ -346,6 +346,11 @@ def _spmv_call(vals, idxT, part, block, first, last, x, cmap=None, *,
         )(part, block, first,
           cmap if cmap is not None else jnp.zeros(1, jnp.int32),
           vals, idxT, XT)
+        # blocks that received no tiles were never written by the kernel;
+        # fill them with the semiring identity (the resident variant
+        # initializes the whole accumulator at t == 0)
+        touched = jnp.zeros((n_blocks,), jnp.bool_).at[block].set(True)
+        out = jnp.where(touched[:, None, None], out, _acc_init(cfg, out))
         y_blocks = _stripe_fold(out.reshape(n_blocks, S // R, R, LANES), cfg)
     return y_blocks
 

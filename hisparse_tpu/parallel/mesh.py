@@ -35,13 +35,16 @@ from ..ops.spmv import _spmv_call
 
 def _pad_tiles(wp: Wavepack, T: int, n_blocks: int) -> Wavepack:
     """Pad a wavepack stream to exactly T tiles / n_blocks blocks with inert
-    tiles (zero values; scheduled as extra tiles of the last block)."""
+    tiles (semiring-identity values, matching pack()'s pad_val; scheduled as
+    extra tiles of the last block)."""
     extra = T - wp.num_tiles
     if extra == 0 and wp.n_blocks == n_blocks:
         return wp
     S = wp.config.sublanes
+    pad_val = (np.inf if wp.config.semiring == "min_plus" else 0)
     vals = np.concatenate([wp.vals,
-                           np.zeros((extra, S, LANES), wp.vals.dtype)])
+                           np.full((extra, S, LANES), pad_val,
+                                   wp.vals.dtype)])
     idxT = np.concatenate([wp.idxT,
                            np.zeros((extra, S, LANES), np.int32)])
     lastb = wp.n_blocks - 1

@@ -237,3 +237,78 @@ def test_scheduler_traffic_patterns():
     waves, lower = run(rng.integers(0, 128, n).astype(np.int32), lam,
                        rng.integers(0, 256, n).astype(np.int32))
     assert waves <= 2 * lower
+
+
+def test_wavepack_save_load_nondefault(tmp_path):
+    """Persistence must round-trip EVERY config field + the class map
+    (round-1 regression: only geometry was saved, so GRAPH_CONFIG / min_plus
+    / two_choice=False packs silently reloaded wrong)."""
+    from hisparse_tpu.formats.wavepack import save_wavepack, load_wavepack
+    m = powerlaw_csr(400, 20000, 6, seed=21)
+    configs = [
+        SpmvConfig(sublanes=128, bank_blocks=2, stripes=128,
+                   block_major=True, classes_per_group=2,
+                   steal_mantissa=True),
+        SpmvConfig(sublanes=128, bank_blocks=1, stripes=64,
+                   semiring="min_plus", two_choice=False),
+        SpmvConfig(sublanes=128, bank_blocks=1, stripes=64, dtype="fixed",
+                   two_choice=False),
+    ]
+    for i, cfg in enumerate(configs):
+        mm = m
+        if cfg.dtype == "fixed":
+            from hisparse_tpu.ops.golden import float_to_fixed
+            mm = CSRMatrix(m.num_rows, m.num_cols, float_to_fixed(m.data),
+                           m.indices, m.indptr)
+        wp = pack(mm, cfg, split_max=32)
+        p = tmp_path / f"wp{i}.npz"
+        save_wavepack(p, wp)
+        wp2 = load_wavepack(p)
+        assert wp2.config == wp.config
+        assert np.array_equal(wp2.vals, wp.vals)
+        assert np.array_equal(wp2.idxT, wp.idxT)
+        assert np.array_equal(wp2.perm, wp.perm)
+        if wp.class_map is not None:
+            assert np.array_equal(wp2.class_map, wp.class_map)
+        else:
+            assert wp2.class_map is None
+        if cfg.dtype != "fixed":
+            assert_same_matrix(decode(wp2), decode(wp))
+
+
+def test_hybrid_multisegment_metadata():
+    """pack_hybrid with several (block, part) segments: tile block/part
+    metadata must come from the pre-filter segment starts (round-1
+    regression: leftover filtering re-indexed bo/po under seg_starts)."""
+    from hisparse_tpu.formats.wavepack import pack_hybrid
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128,
+                     block_major=True, classes_per_group=2)
+    # rows > RPB (16384) -> 2 blocks; cols > VB (16384) -> 2 partitions
+    m = powerlaw_csr(20000, 20000, 4, alpha=1.3, seed=22)
+    wp_bulk, wp_tail = pack_hybrid(m, cfg, split_max=None, stop_frac=0.5)
+    assert wp_bulk.n_blocks == 2 and wp_bulk.n_parts == 2
+    a = decode(wp_bulk).to_scipy() + decode(wp_tail).to_scipy()
+    d = np.abs((a - m.to_scipy()).toarray()).max()
+    assert d <= 1e-6, d
+
+
+def test_unpack_fixed_saturating():
+    """Hub-split partial recombine for the fixed dtype must saturate, not
+    wrap (ap_ufixed AP_SAT semantics)."""
+    from hisparse_tpu.formats.wavepack import Wavepack
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128,
+                     dtype="fixed", two_choice=False)
+    z = np.zeros((1, 128, 128), np.uint32)
+    perm = np.full(cfg.rows_per_block, 1, np.int64)  # 1 == num_rows: padding
+    perm[0] = 0
+    perm[1] = 0   # two virtual rows of original row 0
+    wp = Wavepack(cfg, 1, 128, 1, 1, perm, z,
+                  np.zeros((1, 128, 128), np.int32),
+                  np.zeros(1, np.int32), np.zeros(1, np.int32),
+                  np.ones(1, np.int32), np.ones(1, np.int32), nnz=0)
+    y = np.zeros(cfg.rows_per_block, np.uint32)
+    y[0] = 0xF0000000
+    y[1] = 0xF0000000
+    out = wp.unpack_y(y)
+    assert out.dtype == np.uint32
+    assert out[0] == 0xFFFFFFFF   # saturates; wrapping would give 0xE0000000

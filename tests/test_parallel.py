@@ -46,3 +46,22 @@ def test_sharded_block_major(mesh):
     y = op.unpack_y(op(x))[:m.num_rows]
     ref = spmv_f64(m, x)
     np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4 * abs(ref).max())
+
+
+def test_sharded_min_plus(mesh):
+    """Semiring-aware tile padding (round-1 regression: zero-valued pad
+    tiles corrupted min_plus shards)."""
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128,
+                     semiring="min_plus")
+    m = powerlaw_csr(900, 1100, 7, alpha=1.2, seed=4)
+    op = ShardedSpmv(m, mesh, cfg, split_max=32, interpret=True)
+    x = np.random.default_rng(3).random(m.num_cols).astype(np.float32)
+    y = op.unpack_y(op(x))[:m.num_rows]
+    # golden tropical SpMV
+    ref = np.full(m.num_rows, np.inf, np.float64)
+    rows = np.repeat(np.arange(m.num_rows), np.diff(m.indptr))
+    np.minimum.at(ref, rows,
+                  m.data.astype(np.float64) + x.astype(np.float64)[m.indices])
+    finite = np.isfinite(ref)
+    np.testing.assert_allclose(y[finite], ref[finite], rtol=1e-5, atol=1e-5)
+    assert np.isinf(y[~finite]).all()

@@ -137,3 +137,23 @@ def test_hybrid_pack_matches_golden():
     ref = spmv_f64(m, x)
     scale = max(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(op(x), ref, atol=1e-4 * scale, rtol=1e-4)
+
+
+def test_paged_empty_block_initialized():
+    """Blocks that receive no tiles must still hold the semiring identity
+    (round-1 regression: the paged kernel left them uninitialized).
+    min_plus makes the identity inf, so a zero-filled buffer would fail even
+    under the interpreter."""
+    from hisparse_tpu import CSRMatrix
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128,
+                     semiring="min_plus")
+    rows = cfg.rows_per_block + 50   # 2 blocks
+    # a single nonzero row -> only block 0 receives tiles
+    m = CSRMatrix(rows, 200, np.array([2.5, 1.0], np.float32),
+                  np.array([3, 7], np.int32),
+                  np.r_[0, 2, np.full(rows - 1, 2)].astype(np.int64))
+    x = np.arange(200, dtype=np.float32)
+    wp = pack(m, cfg)
+    y = spmv(wp, x, interpret=True, variant="paged")
+    assert y[0] == pytest.approx(min(2.5 + x[3], 1.0 + x[7]))
+    assert np.isinf(y[1:]).all()   # empty rows = min over nothing = inf
