@@ -84,7 +84,8 @@ class ShardedSpmv:
 
     def __init__(self, m: CSRMatrix, mesh: Mesh,
                  config: SpmvConfig | None = None,
-                 split_max: int | None = None, interpret: bool = False):
+                 split_max: int | None | str = None,
+                 interpret: bool = False):
         cfg = config or SpmvConfig()
         self.cfg = cfg
         self.mesh = mesh
@@ -150,6 +151,9 @@ class ShardedSpmv:
     def __call__(self, x) -> jax.Array:
         """Returns per-device renamed y blocks, shape
         (n_devices, n_blocks, stripes, 128), sharded over the mesh."""
+        if self.cfg.dtype == "fixed" and np.asarray(x).dtype != np.uint32:
+            from ..ops.golden import float_to_fixed
+            x = float_to_fixed(np.asarray(x))
         extra = (self.cmap,) if self.cmap is not None else ()
         return self._sharded(self.vals, self.idxT, self.part, self.block,
                              self.first, self.last, jnp.asarray(x), *extra)

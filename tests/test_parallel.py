@@ -65,3 +65,33 @@ def test_sharded_min_plus(mesh):
     finite = np.isfinite(ref)
     np.testing.assert_allclose(y[finite], ref[finite], rtol=1e-5, atol=1e-5)
     assert np.isinf(y[~finite]).all()
+
+
+def test_sharded_fixed_dtype(mesh):
+    """Fixed-point (saturating Q8.24) SpMV on the mesh, bit-exact vs the
+    golden; exercises float->fixed x conversion and uint32 tile padding."""
+    from hisparse_tpu import CSRMatrix
+    from hisparse_tpu.ops.golden import float_to_fixed, spmv_fixed
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128,
+                     dtype="fixed", two_choice=False)
+    rng = np.random.default_rng(7)
+    m0 = uniform_sparse_csr(600, 800, 6, seed=7)
+    m = CSRMatrix(m0.num_rows, m0.num_cols,
+                  float_to_fixed(m0.data / m0.num_cols),
+                  m0.indices, m0.indptr)
+    op = ShardedSpmv(m, mesh, cfg, interpret=True)
+    x_raw = float_to_fixed(rng.random(m.num_cols))
+    y = op.unpack_y(op(x_raw))[:m.num_rows]
+    ref = spmv_fixed(m, x_raw, data_raw=m.data)
+    assert y.dtype == np.uint32
+    np.testing.assert_array_equal(y, ref)
+
+
+def test_sharded_split_auto(mesh):
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=64)
+    m = powerlaw_csr(800, 1000, 8, alpha=1.1, seed=5)
+    op = ShardedSpmv(m, mesh, cfg, split_max="auto", interpret=True)
+    x = np.random.default_rng(5).random(m.num_cols).astype(np.float32)
+    y = op.unpack_y(op(x))[:m.num_rows]
+    ref = spmv_f64(m, x)
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4 * abs(ref).max())
