@@ -88,10 +88,13 @@ def main():
             from hisparse_tpu import SpmvConfig as _SC
             cfg, split = _SC(sublanes=512, bank_blocks=2, stripes=4,
                              two_choice=True), None
+            co = None
         else:
+            co = "degree"    # hub columns into the first classes
             cfg, split = best_config(m, grid=tune_grid(m.num_rows),
-                                     sample_max_rows=50000)
-        wp = pack(m, cfg, split_max=split)
+                                     sample_max_rows=50000,
+                                     col_order=co)
+        wp = pack(m, cfg, split_max=split, col_order=co)
         pre = time.perf_counter() - t0
         op = SpmvOperator(wp, interpret=not on_tpu)
         x = jax.device_put(

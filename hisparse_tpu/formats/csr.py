@@ -119,6 +119,17 @@ def argsort_rows_by_nnz(m: CSRMatrix, descending: bool = False) -> np.ndarray:
     return order.astype(np.int64)
 
 
+def argsort_cols_by_degree(m: CSRMatrix) -> np.ndarray:
+    """Column order by in-degree descending.  Used as a pack-time
+    ``col_order``: hot (hub) columns land in the first vector-buffer blocks,
+    concentrating gather traffic into few classes so the block-major
+    scheduler's per-group class choices cover most pending items (measured
+    +60% schedule fill on power-law graphs, scratch/fill_probe.py)."""
+    deg = np.zeros(m.num_cols, np.int64)
+    np.add.at(deg, m.indices, 1)
+    return np.argsort(-deg, kind="stable").astype(np.int64)
+
+
 def permute_rows(m: CSRMatrix, order: np.ndarray) -> CSRMatrix:
     """Return m with rows permuted so new row i = old row order[i]."""
     counts = m.row_nnz()[order]

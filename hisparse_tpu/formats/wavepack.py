@@ -255,7 +255,7 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
 def pack(m: CSRMatrix, config: SpmvConfig | None = None,
          row_order: np.ndarray | None = None,
          split_max: int | None | str = None,
-         col_order: np.ndarray | None = None,
+         col_order: np.ndarray | str | None = None,
          _stop_frac: float = 0.0,
          _leftover_out: dict | None = None) -> Wavepack:
     """Pack a CSR matrix into wavepack streams (csr2cpsr analog,
@@ -278,6 +278,11 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     from ..utils.tracing import log_phase
     cfg = config or SpmvConfig()
     log_phase(f"pack: {m.num_rows}x{m.num_cols} nnz={m.nnz} cfg={cfg}")
+    if isinstance(col_order, str):
+        if col_order != "degree":
+            raise ValueError(f"unknown col_order preset {col_order!r}")
+        from .csr import argsort_cols_by_degree
+        col_order = argsort_cols_by_degree(m)
     orig_num_rows = m.num_rows
     if split_max == "auto":
         # bound hub rows near the mean so no single row dominates its

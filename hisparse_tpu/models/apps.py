@@ -86,7 +86,7 @@ def build_combine(wp_A, n_rows, order_rows, semiring, interpret,
                         np.asarray(C.indices, np.int32),
                         np.asarray(C.indptr, np.int64)),
                     c_cfg, row_order=ro)
-        levels.append((wp_C, SpmvOperator(wp_C, interpret=interpret)))
+        levels.append((wp_C, SpmvOperator(wp_C, interpret=interpret, permute_x=False)))
         if last_level:
             return levels
         # next layer input = this level's rank-layout output
@@ -166,7 +166,7 @@ class PageRank:
         m = normalize_by_outdegree(adj.astype(np.float32))
         order_cols = argsort_rows_by_nnz(m, descending=True)
         self.wp = pack(m, config, split_max=split_max, col_order=order_cols)
-        self.op = SpmvOperator(self.wp, interpret=interpret)
+        self.op = SpmvOperator(self.wp, interpret=interpret, permute_x=False)
         cfg = self.wp.config
         self.n_slots_y = self.wp.n_blocks * cfg.rows_per_block
         # column-rank layout: slot i holds original row order_cols[i]
@@ -265,7 +265,7 @@ class SSSP:
         at = csr_to_csc(adj.astype(np.float32))
         order = argsort_rows_by_nnz(at, descending=True)
         self.wp = pack(at, cfg, split_max="auto", col_order=order)
-        self.op = SpmvOperator(self.wp, interpret=interpret)
+        self.op = SpmvOperator(self.wp, interpret=interpret, permute_x=False)
         self.inv = np.empty(self.n, np.int64)
         self.inv[order] = np.arange(self.n)
         self.combine = build_combine(self.wp, self.n, order,
@@ -312,7 +312,7 @@ class BFS:
                        np.ones(at.nnz, np.float32), at.indices, at.indptr)
         order = argsort_rows_by_nnz(at, descending=True)
         self.wp = pack(at, cfg, split_max="auto", col_order=order)
-        self.op = SpmvOperator(self.wp, interpret=interpret)
+        self.op = SpmvOperator(self.wp, interpret=interpret, permute_x=False)
         self.inv = np.empty(self.n, np.int64)
         self.inv[order] = np.arange(self.n)
         self.combine = build_combine(self.wp, self.n, order,

@@ -85,6 +85,7 @@ def explore(matrices: Sequence[tuple[str, CSRMatrix]],
             sample_max_rows: int = 200_000,
             vmem_budget: int = _RESIDENT_VMEM_BUDGET,
             csv_path: str | None = None,
+            col_order=None,
             verbose: bool = False) -> list[DsePoint]:
     """Evaluate every design point on every matrix; returns points sorted
     best-first by geomean estimated GOPS."""
@@ -101,7 +102,7 @@ def explore(matrices: Sequence[tuple[str, CSRMatrix]],
                 skip = True
                 break
             t0 = time.perf_counter()
-            wp = pack(m, cfg, split_max=split)
+            wp = pack(m, cfg, split_max=split, col_order=col_order)
             est = estimate(m, cfg, wp, hbm_gbps)
             per.append((name, est, time.perf_counter() - t0))
         if skip:

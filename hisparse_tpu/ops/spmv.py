@@ -376,11 +376,17 @@ class SpmvOperator:
     """
 
     def __init__(self, wp: Wavepack, interpret: bool = False,
-                 variant: str = "auto"):
+                 variant: str = "auto", permute_x: bool = True):
+        """permute_x: when the pack used a ``col_order``, permute the natural
+        x into packed column space on device (one gather).  Callers that
+        chain iterations in renamed space (models/apps.py) feed x already
+        permuted and pass False."""
         self.wp = wp
         self.cfg = wp.config
         self.interpret = interpret
         self.variant = variant
+        self._colp = (jnp.asarray(wp.col_order)
+                      if permute_x and wp.col_order is not None else None)
         self.vals = jnp.asarray(wp.vals)
         self.idxT = jnp.asarray(wp.idxT)
         self.part = jnp.asarray(wp.tile_part)
@@ -394,6 +400,8 @@ class SpmvOperator:
         if self.cfg.dtype == "fixed" and np.asarray(x).dtype != np.uint32:
             from .golden import float_to_fixed
             x = float_to_fixed(np.asarray(x))
+        if self._colp is not None:
+            x = jnp.asarray(x)[self._colp]
         y_blocks = _spmv_call(
             self.vals, self.idxT, self.part, self.block, self.first,
             self.last, jnp.asarray(x), self.cmap,

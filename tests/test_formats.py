@@ -312,3 +312,13 @@ def test_unpack_fixed_saturating():
     out = wp.unpack_y(y)
     assert out.dtype == np.uint32
     assert out[0] == 0xFFFFFFFF   # saturates; wrapping would give 0xE0000000
+
+
+def test_pack_decode_colsort():
+    """Degree-descending column order round-trips through the oracle."""
+    cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=128,
+                     block_major=True, classes_per_group=2)
+    m = powerlaw_csr(500, 30000, 8, alpha=1.3, seed=30)
+    wp = pack(m, cfg, split_max=16, col_order="degree")
+    assert wp.col_order is not None
+    assert_same_matrix(m, decode(wp))

@@ -157,3 +157,20 @@ def test_paged_empty_block_initialized():
     y = spmv(wp, x, interpret=True, variant="paged")
     assert y[0] == pytest.approx(min(2.5 + x[3], 1.0 + x[7]))
     assert np.isinf(y[1:]).all()   # empty rows = min over nothing = inf
+
+
+def test_colsort_operator_auto_permute():
+    """pack(col_order='degree') + SpmvOperator feeds natural x: the operator
+    permutes x into packed column space on device."""
+    from hisparse_tpu.ops.spmv import SpmvOperator
+    cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=128,
+                     block_major=True, classes_per_group=2,
+                     steal_mantissa=True)
+    m = powerlaw_csr(600, 30000, 8, alpha=1.3, seed=31)
+    wp = pack(m, cfg, split_max=16, col_order="degree")
+    rng = np.random.default_rng(31)
+    x = rng.random(m.num_cols).astype(np.float32)
+    y = SpmvOperator(wp, interpret=True)(x)
+    ref = spmv_f64(m, x)
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(y, ref, atol=1e-4 * scale, rtol=1e-4)
