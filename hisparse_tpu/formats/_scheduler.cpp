@@ -158,6 +158,41 @@ extern "C" void wp_schedule_segments(
 }
 
 // ---------------------------------------------------------------------------
+// Stream emission — C++ twin of the numpy scatter block in wavepack.pack()
+// (the analog of the reference's packet-image build, sw/host.cpp:163-231).
+// Writes the value tile at dest slots and the packed index word directly at
+// its per-group TRANSPOSED position (the numpy path builds `packed` then
+// copies through reshape/swapaxes; here idxT[t, g*128 + lane, s%128] is
+// written in one pass).  Bit fields are disjoint (gather role bits 0..10,
+// dest role bits 11..17) and duplicate gather-slot writes carry identical
+// values, so write order does not matter — output is byte-identical to the
+// numpy fallback (asserted by tests/test_formats.py).
+// ---------------------------------------------------------------------------
+extern "C" void wp_emit(
+    int64_t nnz, const int64_t* t_glob, const int64_t* s_loc,
+    const int32_t* lane_used, const int32_t* lam,
+    const int32_t* bfield, const int32_t* ha_field,
+    const uint32_t* vals_bits, int32_t steal_mantissa, int32_t S,
+    uint32_t* vals_out, int32_t* idxT_out) {
+  for (int64_t i = 0; i < nnz; ++i) {
+    int64_t s = s_loc[i];
+    int64_t g = s >> 7, r = s & 127;
+    size_t base = (size_t)t_glob[i] * S * 128;
+    size_t gbase = base + ((size_t)g << 7) * 128;
+    int32_t lane = lane_used[i];
+    idxT_out[gbase + (size_t)lane * 128 + r] |= (bfield[i] << 7) | ha_field[i];
+    int32_t lm = lam[i];
+    if (steal_mantissa) {
+      vals_out[base + (size_t)s * 128 + lm] =
+          (vals_bits[i] & 0xFFFFFF80u) | (uint32_t)lane;
+    } else {
+      idxT_out[gbase + (size_t)lm * 128 + r] |= lane << 11;
+      vals_out[base + (size_t)s * 128 + lm] = vals_bits[i];
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Block-major (class-group) scheduler — C++ twin of
 // wavepack._schedule_block_major.  Same greedy, same tie-breaking, same
 // incremental-merge order maintenance; outputs must match the Python twin
@@ -230,19 +265,16 @@ extern "C" int64_t wp_schedule_bm(
     total += it.count;
     for (int32_t o = 0; o < it.count; ++o) {
       int32_t lm = lam[store[it.head + o]];
-      ++cnt_rlc[((size_t)sg * 128 + lm) * CT + it.c1];
+      if (++cnt_rlc[((size_t)sg * 128 + lm) * CT + it.c1] == 1)
+        ++rows_cnt[(size_t)sg * CT + it.c1];
       if (it.c2 != it.c1)
-        ++cnt_rlc[((size_t)sg * 128 + lm) * CT + it.c2];
+        if (++cnt_rlc[((size_t)sg * 128 + lm) * CT + it.c2] == 1)
+          ++rows_cnt[(size_t)sg * CT + it.c2];
     }
     if (it.c2 != it.c1) {
       pend[(size_t)sg * CT + it.c2].push_back(&it);
     }
   }
-  for (int32_t sg = 0; sg < R; ++sg)
-    for (int32_t lm = 0; lm < 128; ++lm)
-      for (int32_t c = 0; c < CT; ++c)
-        if (cnt_rlc[((size_t)sg * 128 + lm) * CT + c] > 0)
-          ++rows_cnt[(size_t)sg * CT + c];
   for (auto& lst : pend)
     std::stable_sort(lst.begin(), lst.end(),
                      [](const BmItem* x, const BmItem* y) {

@@ -33,7 +33,7 @@ def _load():
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
                 subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
                     check=True, capture_output=True)
             lib = ctypes.CDLL(_SO)
             lib.wp_schedule_segments.argtypes = [
@@ -53,6 +53,11 @@ def _load():
                 i64p, i64p, i32p, i32p,
                 ctypes.POINTER(ctypes.c_uint8), i32p, ctypes.c_int64]
             lib.wp_schedule_bm.restype = ctypes.c_int64
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            lib.wp_emit.argtypes = [
+                ctypes.c_int64, i64p, i64p, i32p, i32p, i32p, i32p, u32p,
+                ctypes.c_int32, ctypes.c_int32, u32p, i32p]
+            lib.wp_emit.restype = None
             _lib = lib
         except Exception:
             _failed = True
@@ -87,6 +92,34 @@ def schedule_segments(seg_bounds: np.ndarray, stripe: np.ndarray,
     return k_of, choice
 
 
+def emit(T_total: int, S: int, t_glob, s_loc, lane_used, lam, bfield,
+         ha_field, vals_sorted, steal_mantissa: bool, pad_val):
+    """One-pass stream emission: scatter values to dest slots and index
+    fields to their transposed positions.  Returns (vals, idxT), byte-equal
+    to the numpy fallback in wavepack.pack()."""
+    lib = _load()
+    assert lib is not None
+    n = t_glob.size
+    vals = np.full((T_total, S, 128), pad_val, vals_sorted.dtype)
+    idxT = np.zeros((T_total, S, 128), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    t_glob = np.ascontiguousarray(t_glob, np.int64)
+    s_loc = np.ascontiguousarray(s_loc, np.int64)
+    ints = [np.ascontiguousarray(a, np.int32)
+            for a in (lane_used, lam, bfield, ha_field)]
+    vbits = np.ascontiguousarray(vals_sorted).view(np.uint32)
+    lib.wp_emit(ctypes.c_int64(n),
+                t_glob.ctypes.data_as(i64p), s_loc.ctypes.data_as(i64p),
+                *[a.ctypes.data_as(i32p) for a in ints],
+                vbits.ctypes.data_as(u32p),
+                ctypes.c_int32(int(steal_mantissa)), ctypes.c_int32(S),
+                vals.view(np.uint32).ctypes.data_as(u32p),
+                idxT.ctypes.data_as(i32p))
+    return vals, idxT
+
+
 def schedule_bm(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT, K,
                 stop_frac=0.0):
     """Block-major scheduler; returns
@@ -96,8 +129,10 @@ def schedule_bm(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT, K,
     n = sigma.size
     args = [np.ascontiguousarray(a, np.int32)
             for a in (sigma, lam, bank, h, cls, cls2, bank2)]
-    order = np.ascontiguousarray(
-        np.lexsort((np.arange(n), h, bank, cls, sigma)), np.int64)
+    # composite-key stable argsort == lexsort((pos, h, bank, cls, sigma))
+    key = (((sigma.astype(np.int64) * (int(cls.max()) + 1 if n else 1)
+             + cls) * 128 + bank) * 128 + h)
+    order = np.ascontiguousarray(np.argsort(key, kind="stable"), np.int64)
     t_of = np.full(n, -1, np.int64)
     s_of = np.zeros(n, np.int64)
     lane_of = np.zeros(n, np.int32)

@@ -344,9 +344,13 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
         first = np.ones(1, np.int32)
         last = np.ones(1, np.int32)
     else:
-        # one global sort: (block, part, stripe, bank, addr, csr position)
-        order = np.lexsort((np.arange(nnz_total), a_all, bank_all,
-                            sigma_all, part_all, blk_of_nz))
+        # one global sort: (block, part, stripe, bank, addr, csr position) —
+        # a single stable argsort on a composite key (equivalent to the
+        # lexsort it replaces; ties keep CSR order by stability)
+        amax = int(a_all.max()) + 1 if nnz_total else 1
+        key = ((((blk_of_nz.astype(np.int64) * n_parts + part_all) * R
+                 + sigma_all) * LANES + bank_all) * amax + a_all)
+        order = np.argsort(key, kind="stable")
         bo, po = blk_of_nz[order], part_all[order]
         so, lo = sigma_all[order], lam_all[order]
         jo, ao = bank_all[order], a_all[order]
@@ -445,9 +449,7 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
         pad_val = (np.float32(np.inf) if cfg.semiring == "min_plus"
                    else val_dtype.type(0) if hasattr(val_dtype, "type")
                    else np.float32(0))
-        va = np.full((T_total, S, LANES), pad_val, val_dtype)
-        packed = np.zeros((T_total, S, LANES), np.int32)
-        vals_sorted = m.data[order].astype(val_dtype)
+        vals_sorted = np.ascontiguousarray(m.data[order], val_dtype)
         if cfg.block_major:
             bfield = bsel
             if cfg.two_choice:
@@ -463,20 +465,32 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
             lane_used = jo
             bfield = (ao // 128).astype(np.int32)
             ha_field = (ao % 128).astype(np.int32)
-        # gather-role fields at (t, s, gather lane); dest-role at (t, s, row lane)
-        packed[t_glob, s_loc, lane_used] |= (bfield << 7) | ha_field
-        if cfg.steal_mantissa:
-            # src lane rides in the 7 low mantissa bits of the value
-            vbits = vals_sorted.view(np.uint32)
-            va[t_glob, s_loc, lo] = ((vbits & np.uint32(0xFFFFFF80))
-                                     | lane_used.astype(np.uint32)
-                                     ).view(np.float32)
+        from . import native
+        if native.available():
+            # one-pass C++ emission writing idxT directly in its transposed
+            # layout (the production path; the numpy branch below is its
+            # byte-identical reference twin)
+            vals, idxT = native.emit(T_total, S, t_glob, s_loc, lane_used,
+                                     lo, bfield, ha_field, vals_sorted,
+                                     cfg.steal_mantissa, pad_val)
         else:
-            packed[t_glob, s_loc, lo] |= lane_used << 11
-            va[t_glob, s_loc, lo] = vals_sorted
-        idxT = (packed.reshape(T_total, G, 128, 128)
-                .swapaxes(2, 3).reshape(T_total, S, LANES).copy())
-        vals = va
+            va = np.full((T_total, S, LANES), pad_val, val_dtype)
+            packed = np.zeros((T_total, S, LANES), np.int32)
+            # gather-role fields at (t, s, gather lane); dest-role at
+            # (t, s, row lane)
+            packed[t_glob, s_loc, lane_used] |= (bfield << 7) | ha_field
+            if cfg.steal_mantissa:
+                # src lane rides in the 7 low mantissa bits of the value
+                vbits = vals_sorted.view(np.uint32)
+                va[t_glob, s_loc, lo] = ((vbits & np.uint32(0xFFFFFF80))
+                                         | lane_used.astype(np.uint32)
+                                         ).view(np.float32)
+            else:
+                packed[t_glob, s_loc, lo] |= lane_used << 11
+                va[t_glob, s_loc, lo] = vals_sorted
+            idxT = (packed.reshape(T_total, G, 128, 128)
+                    .swapaxes(2, 3).reshape(T_total, S, LANES).copy())
+            vals = va
 
         t_block_arr = np.repeat(seg_block, seg_tiles).astype(np.int32)
         t_part_arr = np.repeat(seg_part, seg_tiles).astype(np.int32)
@@ -654,7 +668,9 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
     bsel_of = np.zeros(n, np.int32)
     choice_of = np.zeros(n, np.uint8)
 
-    order = np.lexsort((np.arange(n), h, bank, cls, sigma))
+    key = (((sigma.astype(np.int64) * (int(cls.max()) + 1 if n else 1)
+             + cls) * 128 + bank) * 128 + h)
+    order = np.argsort(key, kind="stable")
     pend = {}        # (sigma, class) -> list of ents, desc by count
     # per (stripe, row lane, class): pending nonzeros reachable via that
     # class (primary or secondary); rows_cnt counts rows with any

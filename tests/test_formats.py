@@ -151,6 +151,45 @@ def test_native_matches_python_scheduler():
     assert np.array_equal(cn, cp)
 
 
+def test_native_emission_matches_numpy():
+    """The C++ one-pass emission (native.emit) is byte-identical to the
+    numpy scatter+transpose fallback, across steal_mantissa / block_major /
+    fixed / min_plus configs."""
+    from hisparse_tpu.formats import native
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    from hisparse_tpu.ops.golden import float_to_fixed
+    import hisparse_tpu.formats.wavepack as wpmod
+    configs = [
+        SpmvConfig(sublanes=128, bank_blocks=2, stripes=32),
+        SpmvConfig(sublanes=256, bank_blocks=2, stripes=64,
+                   steal_mantissa=True),
+        SpmvConfig(sublanes=128, bank_blocks=4, stripes=128,
+                   block_major=True, classes_per_group=2,
+                   steal_mantissa=True),
+        SpmvConfig(sublanes=128, bank_blocks=1, stripes=32, dtype="fixed",
+                   two_choice=False),
+        SpmvConfig(sublanes=128, bank_blocks=2, stripes=32,
+                   semiring="min_plus"),
+    ]
+    for i, cfg in enumerate(configs):
+        m = powerlaw_csr(500, 1500, 6, seed=20 + i)
+        if cfg.dtype == "fixed":
+            m = CSRMatrix(m.num_rows, m.num_cols,
+                          float_to_fixed(np.abs(m.data) * 0.1), m.indices,
+                          m.indptr)
+        wp_native = pack(m, cfg)
+        orig_avail = native.available
+        native.available = lambda: False
+        try:
+            wp_numpy = pack(m, cfg)
+        finally:
+            native.available = orig_avail
+        assert wp_native.vals.tobytes() == wp_numpy.vals.tobytes(), cfg
+        assert wp_native.idxT.tobytes() == wp_numpy.idxT.tobytes(), cfg
+
+
 def test_hub_split_roundtrip():
     from hisparse_tpu.formats.csr import split_rows
     m = powerlaw_csr(500, 800, 12, alpha=1.1, seed=9)
