@@ -6,12 +6,26 @@ suite of matrices, run the repeated device SpMV loop, report GOPS
 (= 2*nnz/t, benchmark.cpp:314) with preprocessing timed separately
 (benchmark.cpp:109-197).  Each matrix is auto-tuned over a small design grid
 with the analytical model (the reference's DSE, design_space_exp.cpp) before
-measuring; the pruned-NN entry additionally reports the dense-MXU path and
-keeps the better one, since format choice is part of this framework.
+measuring; entries where the format dispatcher picks a dense/MXU format
+additionally report that path and keep the better one, since format choice
+is part of this framework.
 
-Suite: synthetic stand-ins for the FPGA'22 graph + pruned-NN regimes, sized
-so host->device staging stays within the round budget (the tunnel moves
-~16 MB/s; real-dataset runs use scripts/bench_datasets.py).
+Suite: six synthetic stand-ins spanning the FPGA'22 regimes (sw/bm.sh:4-17)
+at published shapes where the staging budget allows (the tunnel moves
+~16 MB/s; the full 12-entry sweep is scripts/bench_datasets.py):
+
+  uniform-60k-d16         row-regular sparse (ogbl-ppa-like uniformity)
+  powerlaw-100k-d10       generic power-law graph
+  pruned-nn-512x33k-d10%  transformer-90 pruned-NN layer, published size
+  googleplus-108k-d127    gplus shape/density (108K rows, 13.7M nnz)
+  mouse-gene-45k-d640     mouse-gene shape/density (45K rows, 29M nnz)
+  pokec-1.6m-paged        pokec shape (1.63M rows, 31M nnz) — exceeds the
+                          resident VMEM budget, so it exercises the paged
+                          kernel on real hardware (host.cpp:335-357 analog)
+
+Two stderr-only tracking rows (not in the geomean): fixed-point Q8.24 on
+powerlaw-100k (paper Table 7's headline fixed-vs-float comparison) and the
+BCSR/SpMM dense-block MXU path.
 
 vs_baseline compares against the reference's overall geomean of 16.7 GOPS
 on the U280 (BASELINE.md, paper Table 3).
@@ -27,9 +41,11 @@ sys.path.insert(0, "/root/repo")
 BASELINE_GOPS = 16.7
 
 
-def tune_grid(num_rows=None):
-    """Design points for the auto-tuner; stripes scale with the row count
-    so small matrices don't drown in empty block slots."""
+def tune_grid(num_rows=None, avg_nnz=None):
+    """Design points for the auto-tuner, pruned by regime: stripes scale
+    with the row count so small matrices don't drown in empty block slots,
+    and points whose per-row slot quota can't fill (S/R >> row nnz) are
+    dropped."""
     from hisparse_tpu import SpmvConfig
     if num_rows is None:
         r_big = [512]
@@ -37,6 +53,10 @@ def tune_grid(num_rows=None):
         want = max(1, -(-num_rows // 128))
         r_big = sorted({min(512, 1 << max(7, (want - 1).bit_length())),
                         512})
+    if avg_nnz is not None and avg_nnz >= 256:
+        # dense-row graphs: a shorter block lets the tuner see block-major
+        # points even on small row samples
+        r_big = sorted(set(r_big) | {128})
     pts = []
     for R in r_big:
         for B, K in ((4, 4), (8, 4), (16, 4), (4, 2), (8, 2)):
@@ -53,7 +73,81 @@ def tune_grid(num_rows=None):
     for R in (4, 16, 32):
         pts.append((SpmvConfig(sublanes=512, bank_blocks=2, stripes=R,
                                two_choice=True), None))
+    if avg_nnz is not None:
+        pts = [(c, s) for (c, s) in pts
+               if c.sublanes // c.stripes <= 8 * max(avg_nnz, 1)]
     return pts
+
+
+def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32"):
+    """Tune, pack, verify and measure one matrix.  Returns (metrics, ok,
+    config, wavepack)."""
+    import jax
+    from hisparse_tpu import pack, SpmvConfig, SpmvOperator
+    from hisparse_tpu.models.dse import best_config
+    from hisparse_tpu.ops.golden import (spmv_f64, float_to_fixed,
+                                         spmv_fixed_vec)
+    from hisparse_tpu.utils.bench import measure_spmv
+
+    t0 = time.perf_counter()
+    density = m.nnz / max(m.num_rows * m.num_cols, 1)
+    avg = m.nnz / max(m.num_rows, 1)
+    wp = None
+    if density >= 0.05:
+        # dense-rows regime: the DSE answer is known (many slots per row);
+        # skip the per-config packs, they dominate preprocessing
+        cfg, split, co = SpmvConfig(sublanes=512, bank_blocks=2, stripes=4,
+                                    two_choice=True), None, None
+    else:
+        co = col_order    # hub columns into the first classes
+        from hisparse_tpu.models.dse import explore
+        from hisparse_tpu.models.perf_model import estimate
+        pts = explore([(name, m)], grid=tune_grid(m.num_rows, avg),
+                      sample_max_rows=16384, col_order=co)
+        # row-sampled packs overestimate fill (fewer distinct columns per
+        # bank), so verify the finalists with full packs and keep the
+        # model-best on REAL stats; the winning pack is reused directly
+        n_final = 3 if m.nnz <= 4_000_000 else 2
+        best = None
+        for p in pts[:n_final]:
+            wp_c = pack(m, p.cfg, split_max=p.split_max, col_order=co)
+            g = estimate(m, p.cfg, wp_c).gops
+            if best is None or g > best[0]:
+                best = (g, p.cfg, p.split_max, wp_c)
+        _, cfg, split, wp = best
+    if dtype == "fixed":
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, dtype="fixed", steal_mantissa=False)
+        # scale so no row sum can saturate: bit-exactness is then checkable
+        # order-independently (spmv_fixed_vec)
+        m = _dc.replace(m, data=float_to_fixed(np.abs(m.data) / (4 * avg)))
+        wp = None
+    if wp is None:
+        wp = pack(m, cfg, split_max=split, col_order=co)
+    pre = time.perf_counter() - t0
+    op = SpmvOperator(wp, interpret=not on_tpu)
+    x = np.random.default_rng(0).random(m.num_cols).astype(np.float32)
+    if dtype == "fixed":
+        x = float_to_fixed(x)
+        y = op(jax.device_put(x))
+        ref = spmv_fixed_vec(m, x, data_raw=m.data)
+        ok = bool(np.array_equal(y, ref))
+        err = 0.0 if ok else 1.0
+    else:
+        x = jax.device_put(x)
+        y = op(x)
+        ref = spmv_f64(m, np.asarray(x))
+        err = np.abs(y - ref).max() / max(np.abs(ref).max(), 1)
+        ok = err < 1e-4
+    met = measure_spmv(name, op, x, m.nnz, wp.stream_bytes,
+                       preproc_s=pre, fill=wp.fill)
+    tag = (f"cfg S={cfg.sublanes} B={cfg.bank_blocks} R={cfg.stripes} "
+           f"tc={int(cfg.two_choice)}"
+           + (f" bm/K={cfg.classes_per_group}" if cfg.block_major else "")
+           + (" fixed" if dtype == "fixed" else ""))
+    print(("OK  " if ok else "BAD ") + met.row() + " | " + tag,
+          file=sys.stderr, flush=True)
+    return met, ok, cfg, wp
 
 
 def main():
@@ -61,71 +155,58 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    from hisparse_tpu import (uniform_sparse_csr, powerlaw_csr, pack,
-                              SpmvOperator)
-    from hisparse_tpu.models.dse import best_config
+    from hisparse_tpu import uniform_sparse_csr, powerlaw_csr
     from hisparse_tpu.ops.dense import DenseOperator, choose_format
     from hisparse_tpu.ops.golden import spmv_f64
-    from hisparse_tpu.utils.bench import (measure_spmv, geomean,
-                                          device_loop_time)
+    from hisparse_tpu.ops.spmv import resident_bytes, _RESIDENT_VMEM_BUDGET
+    from hisparse_tpu.utils.bench import geomean, device_loop_time
 
     on_tpu = jax.devices()[0].platform != "cpu"
     suite = [
-        ("uniform-60k-d16", uniform_sparse_csr(60000, 60000, 16, seed=1)),
-        ("powerlaw-100k-d10", powerlaw_csr(100000, 100000, 10, alpha=1.3,
-                                           seed=2)),
-        ("pruned-nn-512x33k-d10%", uniform_sparse_csr(512, 33280, 3328,
-                                                      seed=3)),
+        ("uniform-60k-d16",
+         lambda: uniform_sparse_csr(60000, 60000, 16, seed=1)),
+        ("powerlaw-100k-d10",
+         lambda: powerlaw_csr(100000, 100000, 10, alpha=1.3, seed=2)),
+        ("pruned-nn-512x33k-d10%",
+         lambda: uniform_sparse_csr(512, 33280, 3328, seed=3)),
+        ("googleplus-108k-d127",
+         lambda: powerlaw_csr(108000, 108000, 127, alpha=1.2, seed=4)),
+        ("mouse-gene-45k-d640",
+         lambda: powerlaw_csr(45000, 45000, 640, alpha=1.4, seed=5)),
+        ("pokec-1.6m-paged",
+         lambda: powerlaw_csr(1632000, 1632000, 19, alpha=1.5, seed=6)),
     ]
 
     gops_list = []
-    for name, m in suite:
-        t0 = time.perf_counter()
-        density = m.nnz / max(m.num_rows * m.num_cols, 1)
-        if density >= 0.05:
-            # dense-rows regime: the DSE answer is known (many slots per
-            # row); skip the per-config packs, they dominate preprocessing
-            from hisparse_tpu import SpmvConfig as _SC
-            cfg, split = _SC(sublanes=512, bank_blocks=2, stripes=4,
-                             two_choice=True), None
-            co = None
-        else:
-            co = "degree"    # hub columns into the first classes
-            cfg, split = best_config(m, grid=tune_grid(m.num_rows),
-                                     sample_max_rows=50000,
-                                     col_order=co)
-        wp = pack(m, cfg, split_max=split, col_order=co)
-        pre = time.perf_counter() - t0
-        op = SpmvOperator(wp, interpret=not on_tpu)
-        x = jax.device_put(
-            np.random.default_rng(0).random(m.num_cols).astype(np.float32))
-        y = op(x)
-        ref = spmv_f64(m, np.asarray(x))
-        err = np.abs(y - ref).max() / max(np.abs(ref).max(), 1)
-        ok = err < 1e-4
-        met = measure_spmv(name, op, x, m.nnz, wp.stream_bytes,
-                           preproc_s=pre, fill=wp.fill)
-        tag = (f"cfg S={cfg.sublanes} B={cfg.bank_blocks} R={cfg.stripes} "
-               f"tc={int(cfg.two_choice)}")
-        print(("OK  " if ok else "BAD ") + met.row() + " | " + tag,
-              file=sys.stderr, flush=True)
+    fixed_m = None
+    for name, gen in suite:
+        m = gen()
+        if name == "uniform-60k-d16":
+            fixed_m = m      # saturation-free fixture for the fixed row
+        met, ok, cfg, wp = bench_entry(name, m, on_tpu)
         best_gops = met.gops if ok else 0.0
+
+        if name == "pokec-1.6m-paged":
+            assert resident_bytes(cfg, wp.n_blocks, wp.n_parts) \
+                > _RESIDENT_VMEM_BUDGET, "pokec entry must exercise paged"
 
         if choose_format(m) == "dense":
             import jax.numpy as jnp
+            x = np.random.default_rng(0).random(m.num_cols).astype(np.float32)
+            ref = spmv_f64(m, x)
             dop = DenseOperator(m, dtype="bf16")
             yd = np.asarray(dop(x))
             errd = np.abs(yd - ref).max() / max(np.abs(ref).max(), 1)
+            xp = np.pad(x, (0, dop.a.shape[1] - x.shape[0]))
             dt = device_loop_time(
                 lambda xx, a: jnp.dot(a, xx,
                                       preferred_element_type=jnp.float32),
-                jnp.asarray(np.asarray(op_pad(x, dop)), dop.a.dtype), dop.a)
+                jnp.asarray(xp, dop.a.dtype), dop.a)
             if dop.stream_bytes / dt / 1e9 > 900:   # above HBM: flaky read
                 dt = device_loop_time(
                     lambda xx, a: jnp.dot(a, xx,
                                           preferred_element_type=jnp.float32),
-                    jnp.asarray(np.asarray(op_pad(x, dop)), dop.a.dtype),
-                    dop.a)
+                    jnp.asarray(xp, dop.a.dtype), dop.a)
             dgops = 2 * m.nnz / dt / 1e9
             print(f"    dense-bf16 path: {dt*1e3:.4f} ms | {dgops:7.1f} GOPS"
                   f" | stream {dop.stream_bytes/dt/1e9:6.1f} GB/s | "
@@ -133,6 +214,18 @@ def main():
             if errd < 3e-2 and dgops > best_gops:
                 best_gops = dgops
         gops_list.append(best_gops)
+        del m, wp
+
+    # --- tracking rows (stderr only, not in the geomean) ------------------
+    try:
+        bench_entry("fixed-q8.24-uniform-60k", fixed_m, on_tpu,
+                    dtype="fixed")
+    except Exception as e:                                # noqa: BLE001
+        print(f"fixed-point row failed: {e!r}", file=sys.stderr, flush=True)
+    try:
+        bcsr_tracking_row(on_tpu)
+    except Exception as e:                                # noqa: BLE001
+        print(f"bcsr row failed: {e!r}", file=sys.stderr, flush=True)
 
     g = geomean(gops_list)
     print(json.dumps({
@@ -143,9 +236,31 @@ def main():
     }))
 
 
-def op_pad(x, dop):
-    x = np.asarray(x)
-    return np.pad(x, (0, dop.a.shape[1] - x.shape[0]))
+def bcsr_tracking_row(on_tpu):
+    """Block-structured SpMM on the MXU (the BASELINE.json batch config)."""
+    import jax.numpy as jnp
+    from hisparse_tpu.formats.csr import block_structured_csr
+    from hisparse_tpu.ops.bcsr import BcsrOperator, _bcsr_call
+    from hisparse_tpu.ops.dense import choose_format
+    from hisparse_tpu.utils.bench import device_loop_time
+    m = block_structured_csr(16384, 16384, block_rows=24, seed=7)
+    fmt = choose_format(m)
+    op = BcsrOperator(m, dtype=jnp.bfloat16, interpret=not on_tpu)
+    X = np.random.default_rng(1).random((m.num_cols, 64)).astype(np.float32)
+    Y = np.asarray(op(jnp.asarray(X)))
+    ref = m.to_scipy() @ X
+    err = np.abs(Y - ref).max() / max(np.abs(ref).max(), 1)
+
+    def fn(xx, blocks, brow, bcol):
+        return _bcsr_call(blocks, brow, bcol, xx, nbr=op.nbr, nbc=op.nbc,
+                          nk=64, interpret=op.interpret).reshape(-1)
+    Xp = jnp.asarray(np.pad(X, ((0, op.nbc * 128 - m.num_cols), (0, 0))),
+                     jnp.bfloat16)
+    dt = device_loop_time(fn, Xp, op.blocks, op.brow, op.bcol)
+    gops = 2 * m.nnz * 64 / dt / 1e9
+    print(f"    bcsr-spmm-16k (64 rhs): {dt*1e3:.4f} ms | {gops:7.1f} GOPS "
+          f"| stream {op.stream_bytes/dt/1e9:6.1f} GB/s | err {err:.1e} | "
+          f"choose_format={fmt}", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

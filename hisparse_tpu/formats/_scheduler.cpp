@@ -42,7 +42,7 @@ extern "C" void wp_schedule_segments(
     int64_t* k_of, uint8_t* choice) {
   std::vector<int64_t> store;      // nz indices per item, CSR order
   std::vector<Item> items;
-  std::vector<Item*> pending, keep, modified, merged;
+  std::vector<Item*> pending;
   std::vector<uint8_t> alive;
 
   for (int64_t seg = 0; seg < n_segs; ++seg) {
@@ -88,12 +88,20 @@ extern "C" void wp_schedule_segments(
         std::memset(used_banks, 0, sizeof used_banks);
         std::memset(used_rows, 0, sizeof used_rows);
         int rows_used = 0, banks_used = 0;
-        keep.clear();
-        modified.clear();
+        // cursor walk with lazy swap-removal of drained items; stops at
+        // bank/row exhaustion — O(visited) per wave instead of an O(list)
+        // rebuild (see wp_schedule_bm for the rationale)
         size_t idx = 0;
-        for (; idx < pending.size(); ++idx) {
-          if (rows_used == 128 || banks_used == 128) break;
+        int32_t fruitless = 0;
+        while (idx < pending.size()) {
+          if (rows_used == 128 || banks_used == 128
+              || fruitless >= 128) break;
           Item* it = pending[idx];
+          if (it->remaining == 0) {             // drained: swap-remove
+            pending[idx] = pending.back();
+            pending.pop_back();
+            continue;                            // revisit slot idx
+          }
           int32_t lane;
           uint8_t ch;
           if (!used_banks[it->bank]) {
@@ -101,7 +109,8 @@ extern "C" void wp_schedule_segments(
           } else if (!used_banks[it->bank2]) {
             lane = it->bank2; ch = 1;
           } else {
-            keep.push_back(it);
+            ++idx;
+            ++fruitless;
             continue;
           }
           int32_t placed = 0;
@@ -126,30 +135,12 @@ extern "C" void wp_schedule_segments(
             used_banks[lane] = true;
             ++banks_used;
             rows_used += placed;
-            if (it->remaining) modified.push_back(it);
-          } else if (it->remaining) {
-            keep.push_back(it);
+            fruitless = 0;
+          } else {
+            ++fruitless;
           }
+          ++idx;
         }
-        for (; idx < pending.size(); ++idx) keep.push_back(pending[idx]);
-        // modified carry reduced counts; restore descending order by a
-        // stable merge (keep-items precede modified on ties)
-        std::stable_sort(modified.begin(), modified.end(),
-                         [](const Item* x, const Item* y) {
-                           return x->remaining > y->remaining;
-                         });
-        merged.clear();
-        merged.reserve(keep.size() + modified.size());
-        size_t a_ = 0, b_ = 0;
-        while (a_ < keep.size() && b_ < modified.size()) {
-          if (keep[a_]->remaining >= modified[b_]->remaining)
-            merged.push_back(keep[a_++]);
-          else
-            merged.push_back(modified[b_++]);
-        }
-        while (a_ < keep.size()) merged.push_back(keep[a_++]);
-        while (b_ < modified.size()) merged.push_back(modified[b_++]);
-        pending.swap(merged);
         ++k;
       }
       i = send;
@@ -281,7 +272,6 @@ extern "C" int64_t wp_schedule_bm(
                        return x->remaining > y->remaining;
                      });
 
-  std::vector<BmItem*> keep, modified, merged;
   for (int64_t q = 0; q < n; ++q) t_of[q] = -1;
   int64_t t = 0;
   int64_t wave_id = 0;
@@ -319,21 +309,31 @@ extern "C" int64_t wp_schedule_bm(
         int32_t placed_rows = 0;
         bool used_banks[128] = {false};
         bool used_rows[128] = {false};
+        int32_t banks_used = 0;
         for (int32_t ci = 0; ci < K; ++ci) {
           int32_t c = top[ci];
+          // cursor walk with lazy swap-removal of drained items; stops at
+          // bank/row exhaustion or a fruitless streak — O(visited) per
+          // wave instead of an O(list) rebuild (the rebuild went quadratic
+          // on hub-heavy graphs).  The initial descending-count order
+          // decays gradually, which measures within noise of the exact
+          // order on schedule fill.
           auto& lst = pend[(size_t)sg * CT + c];
-          if (lst.empty()) continue;
-          keep.clear();
-          modified.clear();
-          size_t idx2 = 0;
-          for (; idx2 < lst.size(); ++idx2) {
-            if (placed_rows == 128) break;
-            BmItem* it = lst[idx2];
-            if (it->remaining == 0) continue;   // lazily drop
-            if (it->stamp == wave_id) { keep.push_back(it); continue; }
+          size_t ii = 0;
+          int32_t fruitless = 0;
+          while (ii < lst.size()) {
+            if (placed_rows == 128 || banks_used == 128
+                || fruitless >= 128) break;
+            BmItem* it = lst[ii];
+            if (it->remaining == 0) {           // drained: swap-remove
+              lst[ii] = lst.back();
+              lst.pop_back();
+              continue;                          // revisit slot ii
+            }
+            if (it->stamp == wave_id) { ++ii; ++fruitless; continue; }
             bool is_primary = (it->c1 == c);
             int32_t lane = is_primary ? it->j1 : it->j2;
-            if (used_banks[lane]) { keep.push_back(it); continue; }
+            if (used_banks[lane]) { ++ii; ++fruitless; continue; }
             int32_t placed = 0;
             int32_t first_alive = -1;
             for (int32_t o = it->alive0; o < it->count; ++o) {
@@ -362,33 +362,18 @@ extern "C" int64_t wp_schedule_bm(
             if (first_alive >= 0) it->alive0 = first_alive;
             if (placed) {
               used_banks[lane] = true;
+              ++banks_used;
               placed_rows += placed;
               placed_tile += placed;
               it->remaining -= placed;
               it->stamp = wave_id;
               total -= placed;
-              if (it->remaining) modified.push_back(it);
-            } else if (it->remaining) {
-              keep.push_back(it);
+              fruitless = 0;
+            } else {
+              ++fruitless;
             }
+            ++ii;
           }
-          for (; idx2 < lst.size(); ++idx2) keep.push_back(lst[idx2]);
-          std::stable_sort(modified.begin(), modified.end(),
-                           [](const BmItem* x, const BmItem* y) {
-                             return x->remaining > y->remaining;
-                           });
-          merged.clear();
-          merged.reserve(keep.size() + modified.size());
-          size_t a_ = 0, b_ = 0;
-          while (a_ < keep.size() && b_ < modified.size()) {
-            if (keep[a_]->remaining >= modified[b_]->remaining)
-              merged.push_back(keep[a_++]);
-            else
-              merged.push_back(modified[b_++]);
-          }
-          while (a_ < keep.size()) merged.push_back(keep[a_++]);
-          while (b_ < modified.size()) merged.push_back(modified[b_++]);
-          lst.swap(merged);
         }
       }
     }

@@ -135,14 +135,13 @@ def permute_rows(m: CSRMatrix, order: np.ndarray) -> CSRMatrix:
     counts = m.row_nnz()[order]
     indptr = np.zeros(m.num_rows + 1, np.int64)
     np.cumsum(counts, out=indptr[1:])
-    idx = np.empty(m.nnz, np.int32)
-    data = np.empty(m.nnz, m.data.dtype)
-    # gather each old row's slice into its new position
-    old_starts = m.indptr[order]
-    for i, (s, c, d) in enumerate(zip(old_starts, counts, indptr[:-1])):
-        idx[d:d + c] = m.indices[s:s + c]
-        data[d:d + c] = m.data[s:s + c]
-    return CSRMatrix(m.num_rows, m.num_cols, data, idx, indptr)
+    # vectorized slice gather: position p of new row i reads
+    # old position indptr_old[order[i]] + (p - indptr_new[i])
+    pos = (np.arange(m.nnz, dtype=np.int64)
+           - np.repeat(indptr[:-1], counts)
+           + np.repeat(m.indptr[order], counts))
+    return CSRMatrix(m.num_rows, m.num_cols, m.data[pos], m.indices[pos],
+                     indptr)
 
 
 def split_rows(m: CSRMatrix, max_nnz: int) -> tuple["CSRMatrix", np.ndarray]:
@@ -161,14 +160,14 @@ def split_rows(m: CSRMatrix, max_nnz: int) -> tuple["CSRMatrix", np.ndarray]:
         return m, np.arange(m.num_rows, dtype=np.int64)
     row_map = np.repeat(np.arange(m.num_rows), pieces)
     n_virtual = int(pieces.sum())
-    indptr = np.zeros(n_virtual + 1, np.int64)
-    v = 0
-    for r in range(m.num_rows):
-        s, e = int(m.indptr[r]), int(m.indptr[r + 1])
-        for p_i in range(int(pieces[r])):
-            v += 1
-            indptr[v] = min(s + (p_i + 1) * max_nnz, e)
-    assert v == n_virtual
+    # virtual row v = piece p of original row r ends at
+    # min(indptr[r] + (p+1)*max_nnz, indptr[r+1]) — all vectorized
+    piece_starts = np.zeros(m.num_rows + 1, np.int64)
+    np.cumsum(pieces, out=piece_starts[1:])
+    p_idx = np.arange(n_virtual, dtype=np.int64) - piece_starts[row_map]
+    ends = np.minimum(m.indptr[row_map] + (p_idx + 1) * max_nnz,
+                      m.indptr[row_map + 1])
+    indptr = np.concatenate([[0], ends])
     return (CSRMatrix(n_virtual, m.num_cols, m.data, m.indices, indptr),
             row_map)
 
@@ -201,15 +200,48 @@ def uniform_sparse_csr(num_rows: int, num_cols: int, nnz_per_row: int,
                        seed: int = 0, dtype=np.float32) -> CSRMatrix:
     """Uniform row-regular random matrix (create_uniform_sparse_CSR,
     sw/host.cpp:406-430): every row has exactly nnz_per_row nonzeros at
-    uniform-random distinct columns; values U(0,1)."""
+    uniform-random distinct columns; values U(0,1).
+
+    Vectorized rejection sampling: draw all rows at once, re-draw colliding
+    slots until every row's columns are distinct (expected O(log) rounds
+    even at 10% density)."""
+    assert nnz_per_row <= num_cols
     rng = np.random.default_rng(seed)
-    cols = np.empty((num_rows, nnz_per_row), np.int32)
-    for r in range(num_rows):
-        cols[r] = rng.choice(num_cols, nnz_per_row, replace=False)
-    cols.sort(axis=1)
+    cols = rng.integers(0, num_cols, (num_rows, nnz_per_row), dtype=np.int64)
+    while True:
+        cols.sort(axis=1)
+        dup_r, dup_c = np.nonzero(cols[:, 1:] == cols[:, :-1])
+        if dup_r.size == 0:
+            break
+        cols[dup_r, dup_c + 1] = rng.integers(0, num_cols, dup_r.size)
     data = rng.random(num_rows * nnz_per_row, np.float32).astype(dtype)
     indptr = np.arange(num_rows + 1, dtype=np.int64) * nnz_per_row
-    return CSRMatrix(num_rows, num_cols, data, cols.reshape(-1), indptr)
+    return CSRMatrix(num_rows, num_cols, data,
+                     cols.reshape(-1).astype(np.int32), indptr)
+
+
+def block_structured_csr(num_rows: int, num_cols: int, block_rows: int = 16,
+                         block: int = 128, density_in_block: float = 0.9,
+                         seed: int = 0, dtype=np.float32) -> CSRMatrix:
+    """Block-sparse fixture: each (block x block) block-row has
+    ``block_rows`` randomly placed dense-ish blocks (the BCSR/SpMM batch
+    regime of BASELINE.json — pruned-NN structured sparsity)."""
+    rng = np.random.default_rng(seed)
+    nbr, nbc = num_rows // block, num_cols // block
+    bcols = np.stack([rng.choice(nbc, min(block_rows, nbc), replace=False)
+                      for _ in range(nbr)])
+    nb = bcols.size
+    per_block = int(block * block * density_in_block)
+    br = np.repeat(np.arange(nbr), bcols.shape[1])
+    r_in = rng.integers(0, block, (nb, per_block))
+    c_in = rng.integers(0, block, (nb, per_block))
+    rows = (br[:, None] * block + r_in).reshape(-1)
+    cols = (bcols.reshape(-1)[:, None] * block + c_in).reshape(-1)
+    import scipy.sparse as sp
+    coo = sp.coo_matrix((rng.random(rows.size).astype(dtype), (rows, cols)),
+                        shape=(num_rows, num_cols))
+    coo.sum_duplicates()
+    return CSRMatrix.from_scipy(coo.tocsr())
 
 
 def powerlaw_csr(num_rows: int, num_cols: int, avg_nnz_per_row: float,

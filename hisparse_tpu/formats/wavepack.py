@@ -198,19 +198,28 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
             used_banks = bytearray(LANES)
             used_rows = bytearray(LANES)
             rows_used = banks_used = 0
-            keep, modified = [], []
-            idx2 = 0
-            for idx2, ent in enumerate(pending):
-                if rows_used == LANES or banks_used == LANES:
-                    idx2 -= 1
+            # cursor walk with lazy swap-removal (C++ twin:
+            # _scheduler.cpp::wp_schedule_segments); stops at bank/row
+            # exhaustion — O(visited) per wave, no list rebuild
+            ii = 0
+            fruitless = 0
+            while ii < len(pending):
+                if (rows_used == LANES or banks_used == LANES
+                        or fruitless >= 128):
                     break
+                ent = pending[ii]
+                if ent[0] == 0:                 # drained: swap-remove
+                    pending[ii] = pending[-1]
+                    pending.pop()
+                    continue                    # revisit slot ii
                 cnt, bk1, bk2, q = ent
                 if not used_banks[bk1]:
                     bk_, ch = bk1, 0
                 elif not used_banks[bk2]:
                     bk_, ch = bk2, 1
                 else:
-                    keep.append(ent)
+                    ii += 1
+                    fruitless += 1
                     continue
                 placed = 0
                 kept = []
@@ -231,23 +240,10 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
                     banks_used += 1
                     rows_used += placed
                     ent[0] = len(q)
-                    if q:
-                        modified.append(ent)
-                elif q:
-                    keep.append(ent)
-            keep.extend(pending[idx2 + 1:])
-            modified.sort(key=lambda e: -e[0])
-            # stable merge, keep-items precede modified on ties
-            merged = []
-            a_ = b_ = 0
-            while a_ < len(keep) and b_ < len(modified):
-                if keep[a_][0] >= modified[b_][0]:
-                    merged.append(keep[a_]); a_ += 1
+                    fruitless = 0
                 else:
-                    merged.append(modified[b_]); b_ += 1
-            merged.extend(keep[a_:])
-            merged.extend(modified[b_:])
-            pending = merged
+                    fruitless += 1
+                ii += 1
             k += 1
     return k_of, choice
 
@@ -676,6 +672,7 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
     # class (primary or secondary); rows_cnt counts rows with any
     cnt_rlc = np.zeros((R, LANES, CT), np.int32)
     i = 0
+    total = 0
     while i < n:
         nz0 = order[i]
         sg, c1, b1, hh = (int(sigma[nz0]), int(cls[nz0]), int(bank[nz0]),
@@ -691,6 +688,7 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
             cnt_rlc[sg, lam[nz], c1] += 1
             if c2 != c1:
                 cnt_rlc[sg, lam[nz], c2] += 1
+        total += len(q)
         q.reverse()
         ent = [len(q), b1, int(bank2[nz0]), c1, c2, q, -1]
         pend.setdefault((sg, c1), []).append(ent)
@@ -703,11 +701,6 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
         lst.sort(key=lambda e: -e[0])
 
     class_map = []
-    total = 0   # total pending nonzeros (count each item once, via primary)
-    for (sg_, c_), lst in pend.items():
-        for e in lst:
-            if e[3] == c_:
-                total += e[0]
     t = 0
     wave_id = 0
     min_tile = int(stop_frac * S * LANES)
@@ -727,29 +720,37 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
                 s_glob = g * 128 + u
                 wave_id += 1
                 placed_rows = 0
+                banks_used = 0
                 used_banks = bytearray(LANES)
                 used_rows = bytearray(LANES)
                 for ci in range(K):
                     c = int(top[ci])
-                    lst = pend.get((sg, c))
-                    if not lst:
-                        continue
-                    keep, modified = [], []
-                    idx2 = -1
-                    for idx2, ent in enumerate(lst):
-                        if placed_rows == LANES:
-                            idx2 -= 1
+                    # cursor walk with lazy swap-removal of drained items
+                    # and a fruitless-streak cap (C++ twin in
+                    # _scheduler.cpp::wp_schedule_bm) — O(visited) per
+                    # wave, no list rebuild
+                    lst = pend.get((sg, c), ())
+                    ii = 0
+                    fruitless = 0
+                    while ii < len(lst):
+                        if (placed_rows == LANES or banks_used == LANES
+                                or fruitless >= 128):
                             break
-                        cnt, j1, j2, c1, c2, q, stamp = ent
-                        if cnt == 0:
-                            continue    # lazily drop dead ent
-                        if stamp == wave_id:
-                            keep.append(ent)
+                        ent = lst[ii]
+                        if ent[0] == 0:          # drained: swap-remove
+                            lst[ii] = lst[-1]
+                            lst.pop()
+                            continue             # revisit slot ii
+                        if ent[6] == wave_id:
+                            ii += 1
+                            fruitless += 1
                             continue
+                        cnt, j1, j2, c1, c2, q, stamp = ent
                         is_primary = (c1 == c)
                         lane = j1 if is_primary else j2
                         if used_banks[lane]:
-                            keep.append(ent)
+                            ii += 1
+                            fruitless += 1
                             continue
                         placed = 0
                         kept_nz = []
@@ -777,27 +778,16 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
                         q.extend(kept_nz)
                         if placed:
                             used_banks[lane] = 1
+                            banks_used += 1
                             placed_rows += placed
                             placed_tile += placed
                             ent[0] = len(q)
                             ent[6] = wave_id
                             total -= placed
-                            if q:
-                                modified.append(ent)
-                        elif q:
-                            keep.append(ent)
-                    keep.extend(lst[idx2 + 1:])
-                    modified.sort(key=lambda e: -e[0])
-                    merged = []
-                    a_ = b_ = 0
-                    while a_ < len(keep) and b_ < len(modified):
-                        if keep[a_][0] >= modified[b_][0]:
-                            merged.append(keep[a_]); a_ += 1
+                            fruitless = 0
                         else:
-                            merged.append(modified[b_]); b_ += 1
-                    merged.extend(keep[a_:])
-                    merged.extend(modified[b_:])
-                    pend[(sg, c)] = merged
+                            fruitless += 1
+                        ii += 1
         class_map.append(cm_row)
         t += 1
         if min_tile and placed_tile < min_tile:

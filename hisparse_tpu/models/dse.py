@@ -61,9 +61,13 @@ def default_grid():
     return pts
 
 
-def sample_rows(m: CSRMatrix, max_rows: int, seed: int = 0) -> CSRMatrix:
+def sample_rows(m: CSRMatrix, max_rows: int, seed: int = 0,
+                max_nnz: int = 1_500_000) -> CSRMatrix:
     """Row-sampled surrogate so a sweep over many points stays cheap (the
-    model only needs representative fill/alpha statistics)."""
+    model only needs representative fill/alpha statistics).  Bounded by both
+    a row cap and an nnz cap (dense-row matrices hit the latter first)."""
+    avg = m.nnz / max(m.num_rows, 1)
+    max_rows = min(max_rows, max(128, int(max_nnz / max(avg, 1e-9))))
     if m.num_rows <= max_rows:
         return m
     rng = np.random.default_rng(seed)
@@ -71,13 +75,11 @@ def sample_rows(m: CSRMatrix, max_rows: int, seed: int = 0) -> CSRMatrix:
     counts = m.row_nnz()[rows]
     indptr = np.zeros(max_rows + 1, np.int64)
     np.cumsum(counts, out=indptr[1:])
-    idx = np.empty(int(indptr[-1]), np.int32)
-    dat = np.empty(int(indptr[-1]), m.data.dtype)
-    for i, r in enumerate(rows):
-        s, e = m.indptr[r], m.indptr[r + 1]
-        idx[indptr[i]:indptr[i + 1]] = m.indices[s:e]
-        dat[indptr[i]:indptr[i + 1]] = m.data[s:e]
-    return CSRMatrix(max_rows, m.num_cols, dat, idx, indptr)
+    pos = (np.arange(int(indptr[-1]), dtype=np.int64)
+           - np.repeat(indptr[:-1], counts)
+           + np.repeat(m.indptr[rows], counts))
+    return CSRMatrix(max_rows, m.num_cols, m.data[pos], m.indices[pos],
+                     indptr)
 
 
 def explore(matrices: Sequence[tuple[str, CSRMatrix]],

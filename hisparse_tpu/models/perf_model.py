@@ -31,15 +31,41 @@ from ..formats.csr import CSRMatrix
 from ..formats.wavepack import Wavepack
 from ..ops.spmv import resident_bytes, _RESIDENT_VMEM_BUDGET
 
-# measured sustained slot rates (Gslot/s) on TPU v5e (scripts/tpu_bench2.py)
-# keyed by gather-operand count: select-chain path by total_blocks,
-# block-major path by classes_per_group.  Linear interpolation elsewhere.
+# fallback sustained slot rates (Gslot/s), measured on TPU v5e
+# (scripts/tpu_bench2.py); keyed by gather-operand count: select-chain path
+# by total_blocks, block-major path by classes_per_group.  Linear
+# interpolation elsewhere.  ``scripts/calibrate_slot_rates.py`` re-measures
+# the curve on the attached chip and writes slot_rates.json next to this
+# module, which takes precedence — the analog of the reference's
+# instrumented-csim calibration (performance_model/include/shuffle.h:199).
 SLOT_RATE_GSLOTS = {1: 55.0, 2: 45.0, 4: 36.0, 8: 19.0, 16: 11.0}
 SLOT_RATE_BM_GSLOTS = {1: 60.0, 2: 55.0, 4: 41.0, 8: 24.0}
 
+_RATES_PATH = __file__.rsplit("/", 1)[0] + "/slot_rates.json"
+_loaded_rates = None
+
+
+def _rate_tables():
+    global _loaded_rates
+    if _loaded_rates is None:
+        tables = (SLOT_RATE_GSLOTS, SLOT_RATE_BM_GSLOTS)
+        try:
+            import json
+            with open(_RATES_PATH) as f:
+                d = json.load(f)
+            tables = ({int(k): float(v)
+                       for k, v in d["select_chain"].items()},
+                      {int(k): float(v)
+                       for k, v in d["block_major"].items()})
+        except (OSError, KeyError, ValueError):
+            pass
+        _loaded_rates = tables
+    return _loaded_rates
+
 
 def slot_rate(n_operands: int, block_major: bool = False) -> float:
-    table = SLOT_RATE_BM_GSLOTS if block_major else SLOT_RATE_GSLOTS
+    chain_tbl, bm_tbl = _rate_tables()
+    table = bm_tbl if block_major else chain_tbl
     ks = sorted(table)
     if n_operands in table:
         return table[n_operands]

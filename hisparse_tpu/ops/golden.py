@@ -98,3 +98,26 @@ def spmv_fixed(m: CSRMatrix, x_raw: np.ndarray, data_raw: np.ndarray | None = No
             acc = fixed_add(acc, fixed_mul(data_raw[k], x_raw[m.indices[k]]))
         y[r] = acc
     return y
+
+
+def spmv_fixed_vec(m: CSRMatrix, x_raw: np.ndarray,
+                   data_raw: np.ndarray | None = None) -> np.ndarray:
+    """Vectorized bit-exact fixed SpMV for the saturation-free case.
+
+    When neither any rounded product nor any row sum exceeds the Q8.24
+    range, saturating accumulation equals plain modular accumulation and is
+    order-independent, so one vectorized pass matches :func:`spmv_fixed`
+    exactly; otherwise falls back to the sequential reference."""
+    if data_raw is None:
+        data_raw = float_to_fixed(m.data)
+    prod = data_raw.astype(np.uint64) * x_raw[m.indices].astype(np.uint64)
+    prod = (prod + (np.uint64(1) << np.uint64(FIX_FRAC_BITS - 1))) \
+        >> np.uint64(FIX_FRAC_BITS)
+    if prod.size and int(prod.max()) > int(FIX_MAX):
+        return spmv_fixed(m, x_raw, data_raw)
+    acc = np.zeros(m.num_rows, np.uint64)
+    rows = np.repeat(np.arange(m.num_rows), np.diff(m.indptr))
+    np.add.at(acc, rows, prod)
+    if acc.size and int(acc.max()) > int(FIX_MAX):
+        return spmv_fixed(m, x_raw, data_raw)
+    return acc.astype(np.uint32)

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Measure the kernel's (gather operands -> Gslot/s) curve on the attached
+chip and write ``hisparse_tpu/models/slot_rates.json`` for the perf model.
+
+The analog of the reference's instrumented-csim calibration (the iteration
+counters in performance_model/include/shuffle.h:199,279 feed its alpha/beta
+model); here the measured quantity is the sustained slot rate of the SpMV
+kernel per design family:
+
+  * select-chain path, keyed by total gather-operand blocks (B x (1+tc))
+  * block-major path, keyed by classes_per_group K
+
+Each point packs a dense-row uniform matrix (schedule fill ~1 so slots, not
+padding, dominate) and times the on-device repetition loop.  Run with no
+arguments; pass --dry to print without writing.
+
+Usage: python scripts/calibrate_slot_rates.py [--dry]
+"""
+import argparse
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def measure_point(cfg, rows, cols, nnz_per_row, on_tpu):
+    import jax
+    from hisparse_tpu import uniform_sparse_csr, pack, SpmvOperator
+    from hisparse_tpu.utils.bench import measure_spmv
+    m = uniform_sparse_csr(rows, cols, nnz_per_row, seed=7)
+    wp = pack(m, cfg, split_max=None)
+    op = SpmvOperator(wp, interpret=not on_tpu)
+    x = jax.device_put(
+        np.random.default_rng(0).random(m.num_cols).astype(np.float32))
+    met = measure_spmv("cal", op, x, m.nnz, wp.stream_bytes, fill=wp.fill)
+    slots = wp.num_tiles * cfg.tile_slots
+    return slots / (met.spmv_ms * 1e-3) / 1e9, wp.fill
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dry", action="store_true")
+    args = ap.parse_args()
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    from hisparse_tpu import SpmvConfig
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if not on_tpu:
+        print("WARNING: no TPU attached; interpret-mode rates are "
+              "meaningless, not writing", file=sys.stderr)
+        args.dry = True
+
+    # dense-row fixture: 16384 rows x 64 nnz -> fill ~1 on R=64..128
+    chain = {}
+    for B, tc in ((1, False), (2, False), (4, False), (8, False), (8, True)):
+        cfg = SpmvConfig(sublanes=512, bank_blocks=B, stripes=128,
+                         two_choice=tc, steal_mantissa=True)
+        rate, fill = measure_point(cfg, 16384, B * 16384, 64, on_tpu)
+        chain[cfg.total_blocks] = round(rate, 1)
+        print(f"select-chain operands={cfg.total_blocks:2d}: "
+              f"{rate:6.1f} Gslot/s (fill {fill:.2f})", flush=True)
+    bm = {}
+    for K in (1, 2, 4, 8):
+        cfg = SpmvConfig(sublanes=512, bank_blocks=8, stripes=128,
+                         two_choice=False, block_major=True,
+                         classes_per_group=K, steal_mantissa=True)
+        rate, fill = measure_point(cfg, 16384, 8 * 16384, 64, on_tpu)
+        bm[K] = round(rate, 1)
+        print(f"block-major K={K}: {rate:6.1f} Gslot/s (fill {fill:.2f})",
+              flush=True)
+
+    out = {"device": jax.devices()[0].device_kind,
+           "select_chain": chain, "block_major": bm}
+    print(json.dumps(out))
+    if not args.dry:
+        from hisparse_tpu.models import perf_model
+        with open(perf_model._RATES_PATH, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {perf_model._RATES_PATH}")
+
+
+if __name__ == "__main__":
+    main()
