@@ -53,15 +53,20 @@ def tune_grid(num_rows=None, avg_nnz=None):
         want = max(1, -(-num_rows // 128))
         r_big = sorted({min(512, 1 << max(7, (want - 1).bit_length())),
                         512})
-    if avg_nnz is not None and avg_nnz >= 256:
-        # dense-row graphs: a shorter block lets the tuner see block-major
-        # points even on small row samples
-        r_big = sorted(set(r_big) | {128})
+    # R=128 gives hub-heavy graphs 4 slots/row/tile (measured +30% fill on
+    # the gplus stand-in) and lets the tuner see block-major points on
+    # small row samples of dense-row graphs
+    r_big = sorted(set(r_big) | {128})
     pts = []
     for R in r_big:
-        for B, K in ((4, 4), (8, 4), (16, 4), (4, 2), (8, 2)):
+        # (B, K, two_choice) winners from the round-2 on-chip sweep
+        # (scratch/tpu_sweep_r2.py): K=2 for slot rate, tc0 halves the x
+        # tile at equal fill under degree ordering, K=4/8 for
+        # spread-column graphs where the per-group class choice starves
+        for B, K, tc in ((4, 2, True), (8, 2, False), (8, 4, False),
+                         (16, 4, True)):
             pts.append((SpmvConfig(sublanes=512, bank_blocks=B, stripes=R,
-                                   two_choice=True, block_major=True,
+                                   two_choice=tc, block_major=True,
                                    classes_per_group=K,
                                    steal_mantissa=True), "auto"))
         pts.append((SpmvConfig(sublanes=512, bank_blocks=2, stripes=R,
@@ -106,14 +111,21 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32"):
                       sample_max_rows=16384, col_order=co)
         # row-sampled packs overestimate fill (fewer distinct columns per
         # bank), so verify the finalists with full packs and keep the
-        # model-best on REAL stats; the winning pack is reused directly
+        # model-best on REAL stats; the winning pack is reused directly.
+        # The hub-split bound is the strongest fill knob (pokec 0.20->0.22,
+        # gplus 0.40->0.52 measured), so the top candidate is also tried
+        # at 2x and 1/2x its auto split.
         n_final = 3 if m.nnz <= 4_000_000 else 2
+        base_split = max(8, 1 << int(round(np.log2(max(avg, 1.0)))))
+        cands = [(pts[0].cfg, s) for s in
+                 (base_split, 2 * base_split, base_split // 2) if s >= 8]
+        cands += [(p.cfg, p.split_max) for p in pts[1:n_final]]
         best = None
-        for p in pts[:n_final]:
-            wp_c = pack(m, p.cfg, split_max=p.split_max, col_order=co)
-            g = estimate(m, p.cfg, wp_c).gops
+        for cfg_c, sm in cands:
+            wp_c = pack(m, cfg_c, split_max=sm, col_order=co)
+            g = estimate(m, cfg_c, wp_c).gops
             if best is None or g > best[0]:
-                best = (g, p.cfg, p.split_max, wp_c)
+                best = (g, cfg_c, sm, wp_c)
         _, cfg, split, wp = best
     if dtype == "fixed":
         import dataclasses as _dc

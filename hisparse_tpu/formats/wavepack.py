@@ -282,9 +282,11 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     orig_num_rows = m.num_rows
     if split_max == "auto":
         # bound hub rows near the mean so no single row dominates its
-        # stripe's wave count (fill sweep: ~1x mean is the sweet spot)
+        # stripe's wave count (fill sweep: ~1x mean is the sweet spot;
+        # round-to-nearest beats ceil on low-degree power-law graphs —
+        # pokec-400k fill 0.20 -> 0.22, scratch/tpu_sweep_r2)
         mean = max(float(m.nnz) / max(m.num_rows, 1), 1.0)
-        split_max = max(8, 1 << int(np.ceil(np.log2(mean))))
+        split_max = max(8, 1 << int(round(np.log2(mean))))
     if split_max is not None:
         from .csr import split_rows
         m, row_map = split_rows(m, split_max)

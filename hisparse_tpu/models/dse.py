@@ -51,11 +51,13 @@ def default_grid():
         pts.append((cfg, split))
     # the block-major family (class-group scheduling) — the benchmark's
     # best-performing points on graph suites; steal_mantissa rides the
-    # values so the kernel skips the src-decode transpose
-    for B, K in ((4, 4), (8, 4), (16, 4), (4, 2), (8, 2)):
+    # values so the kernel skips the src-decode transpose.  (B, K, tc)
+    # set from the round-2 on-chip sweep (scratch/tpu_sweep_r2.py).
+    for B, K, tc in ((4, 2, True), (8, 2, False), (8, 4, False),
+                     (16, 4, True)):
         for R in (128, 512):
             pts.append((SpmvConfig(sublanes=512, bank_blocks=B, stripes=R,
-                                   two_choice=True, block_major=True,
+                                   two_choice=tc, block_major=True,
                                    classes_per_group=K,
                                    steal_mantissa=True), "auto"))
     return pts

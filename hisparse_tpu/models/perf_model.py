@@ -38,8 +38,8 @@ from ..ops.spmv import resident_bytes, _RESIDENT_VMEM_BUDGET
 # the curve on the attached chip and writes slot_rates.json next to this
 # module, which takes precedence — the analog of the reference's
 # instrumented-csim calibration (performance_model/include/shuffle.h:199).
-SLOT_RATE_GSLOTS = {1: 55.0, 2: 45.0, 4: 36.0, 8: 19.0, 16: 11.0}
-SLOT_RATE_BM_GSLOTS = {1: 60.0, 2: 55.0, 4: 41.0, 8: 24.0}
+SLOT_RATE_GSLOTS = {1: 62.0, 2: 52.0, 4: 48.0, 8: 23.0, 16: 12.0}
+SLOT_RATE_BM_GSLOTS = {1: 62.0, 2: 52.0, 4: 38.0, 8: 23.0}
 
 _RATES_PATH = __file__.rsplit("/", 1)[0] + "/slot_rates.json"
 _loaded_rates = None
@@ -124,7 +124,17 @@ def estimate(m: CSRMatrix, cfg: SpmvConfig, wp: Wavepack,
     tm = wp.stream_bytes / (hbm_gbps * 1e9)
     n_ops = (cfg.classes_per_group if cfg.block_major
              else cfg.total_blocks)
-    tc = slots / (slot_rate(n_ops, cfg.block_major) * 1e9)
+    rate = slot_rate(n_ops, cfg.block_major)
+    # measured on v5e (scratch/tpu_sweep_r2.py): the doubled/large x tile
+    # slows the gathers beyond what operand count alone predicts
+    if cfg.block_major:
+        if cfg.bank_blocks > 8:
+            rate *= 0.77
+        if cfg.two_choice:
+            rate *= 0.94
+    elif cfg.two_choice:
+        rate *= 0.77
+    tc = slots / (rate * 1e9)
     resident = (resident_bytes(cfg, wp.n_blocks, wp.n_parts)
                 <= _RESIDENT_VMEM_BUDGET)
     x_bytes = wp.n_parts * cfg.vb_cols * 4 * (1 if resident else wp.n_blocks)

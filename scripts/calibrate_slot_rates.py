@@ -54,21 +54,22 @@ def main():
               "meaningless, not writing", file=sys.stderr)
         args.dry = True
 
-    # dense-row fixture: 16384 rows x 64 nnz -> fill ~1 on R=64..128
+    # fixture mirrors the benchmark regimes: a big row block (R=512,
+    # 65536 rows) so class choices and stream sizes match production runs
     chain = {}
     for B, tc in ((1, False), (2, False), (4, False), (8, False), (8, True)):
-        cfg = SpmvConfig(sublanes=512, bank_blocks=B, stripes=128,
+        cfg = SpmvConfig(sublanes=512, bank_blocks=B, stripes=512,
                          two_choice=tc, steal_mantissa=True)
-        rate, fill = measure_point(cfg, 16384, B * 16384, 64, on_tpu)
+        rate, fill = measure_point(cfg, 65536, B * 16384, 32, on_tpu)
         chain[cfg.total_blocks] = round(rate, 1)
         print(f"select-chain operands={cfg.total_blocks:2d}: "
               f"{rate:6.1f} Gslot/s (fill {fill:.2f})", flush=True)
     bm = {}
     for K in (1, 2, 4, 8):
-        cfg = SpmvConfig(sublanes=512, bank_blocks=8, stripes=128,
+        cfg = SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
                          two_choice=False, block_major=True,
                          classes_per_group=K, steal_mantissa=True)
-        rate, fill = measure_point(cfg, 16384, 8 * 16384, 64, on_tpu)
+        rate, fill = measure_point(cfg, 65536, 8 * 16384, 32, on_tpu)
         bm[K] = round(rate, 1)
         print(f"block-major K={K}: {rate:6.1f} Gslot/s (fill {fill:.2f})",
               flush=True)
