@@ -57,6 +57,11 @@ def tune_grid(num_rows=None, avg_nnz=None):
     # the gplus stand-in) and lets the tuner see block-major points on
     # small row samples of dense-row graphs
     r_big = sorted(set(r_big) | {128})
+    # sampled tuner packs use a half-mean split: measured at-or-near the
+    # best fill on every hub-heavy stand-in and several times faster to
+    # pack than the rounded-mean auto value
+    s_tune = ("auto" if avg_nnz is None else
+              max(8, (1 << int(round(np.log2(max(avg_nnz, 1.0))))) // 2))
     pts = []
     for R in r_big:
         # (B, K, two_choice) winners from the round-2 on-chip sweep
@@ -68,16 +73,17 @@ def tune_grid(num_rows=None, avg_nnz=None):
             pts.append((SpmvConfig(sublanes=512, bank_blocks=B, stripes=R,
                                    two_choice=tc, block_major=True,
                                    classes_per_group=K,
-                                   steal_mantissa=True), "auto"))
+                                   steal_mantissa=True), s_tune))
         pts.append((SpmvConfig(sublanes=512, bank_blocks=2, stripes=R,
                                two_choice=True, steal_mantissa=True),
-                    "auto"))
+                    s_tune))
         pts.append((SpmvConfig(sublanes=512, bank_blocks=8, stripes=R,
-                               two_choice=False), "auto"))
-    # small/dense-rows regimes
+                               two_choice=False), s_tune))
+    # small/dense-rows regimes ("auto" split is a no-op for uniform rows
+    # but keeps hub-heavy samples from packing unbounded hub rows)
     for R in (4, 16, 32):
         pts.append((SpmvConfig(sublanes=512, bank_blocks=2, stripes=R,
-                               two_choice=True), None))
+                               two_choice=True), "auto"))
     if avg_nnz is not None:
         pts = [(c, s) for (c, s) in pts
                if c.sublanes // c.stripes <= 8 * max(avg_nnz, 1)]
@@ -103,6 +109,37 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32"):
         # skip the per-config packs, they dominate preprocessing
         cfg, split, co = SpmvConfig(sublanes=512, bank_blocks=2, stripes=4,
                                     two_choice=True), None, None
+    elif m.num_rows > 400_000:
+        # huge graphs: a row sample holds ~1 row block and cannot see the
+        # (block, partition) segment quantization of the full matrix, so
+        # the sampled tuner is structurally blind.  Use full-pack
+        # candidates from the measured frontier (scratch/tpu_sweep_r2.py):
+        # large VB + large row blocks minimize segment count.
+        co = col_order
+        from hisparse_tpu.models.perf_model import estimate
+        base = max(8, 1 << int(round(np.log2(max(avg, 1.0)))))
+        cands = [
+            (SpmvConfig(sublanes=512, bank_blocks=16, stripes=512,
+                        two_choice=True, block_major=True,
+                        classes_per_group=4, steal_mantissa=True), base),
+            (SpmvConfig(sublanes=512, bank_blocks=16, stripes=512,
+                        two_choice=True, block_major=True,
+                        classes_per_group=4, steal_mantissa=True),
+             max(8, base // 2)),
+            (SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
+                        two_choice=False, block_major=True,
+                        classes_per_group=2, steal_mantissa=True), base),
+            (SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
+                        two_choice=False, block_major=True,
+                        classes_per_group=4, steal_mantissa=True), base),
+        ]
+        best = None
+        for cfg_c, sm in dict.fromkeys(cands):
+            wp_c = pack(m, cfg_c, split_max=sm, col_order=co)
+            g = estimate(m, cfg_c, wp_c).gops
+            if best is None or g > best[0]:
+                best = (g, cfg_c, sm, wp_c)
+        _, cfg, split, wp = best
     else:
         co = col_order    # hub columns into the first classes
         from hisparse_tpu.models.dse import explore
@@ -115,11 +152,33 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32"):
         # The hub-split bound is the strongest fill knob (pokec 0.20->0.22,
         # gplus 0.40->0.52 measured), so the top candidate is also tried
         # at 2x and 1/2x its auto split.
-        n_final = 3 if m.nnz <= 4_000_000 else 2
+        big = m.nnz > 4_000_000
         base_split = max(8, 1 << int(round(np.log2(max(avg, 1.0)))))
-        cands = [(pts[0].cfg, s) for s in
-                 (base_split, 2 * base_split, base_split // 2) if s >= 8]
-        cands += [(p.cfg, p.split_max) for p in pts[1:n_final]]
+        # tighter splits measured best on every hub-heavy stand-in
+        # (gplus base//2, pokec base) and also pack several times faster
+        splits = ((base_split, max(8, base_split // 2),
+                   max(8, base_split // 4)) if big else
+                  (base_split, 2 * base_split, max(8, base_split // 2)))
+        # finalists: the full cross product of the top config families,
+        # their R variants, and the split ladder — the row sample
+        # systematically misranks large-R points (stripes starve below
+        # ~R*128 rows) and the best split is family-dependent, so only
+        # full packs can be trusted for any of the three axes
+        def fam(c):
+            return (c.block_major,
+                    c.classes_per_group if c.block_major else 0,
+                    c.two_choice)
+        fams = []
+        for p in pts:
+            if fam(p.cfg) not in fams:
+                fams.append(fam(p.cfg))
+            if len(fams) == (2 if big else 3):
+                break
+        cands, seen_cfg = [], set()
+        for p in pts:
+            if fam(p.cfg) in fams and p.cfg not in seen_cfg:
+                seen_cfg.add(p.cfg)
+                cands.extend((p.cfg, s) for s in dict.fromkeys(splits))
         best = None
         for cfg_c, sm in cands:
             wp_c = pack(m, cfg_c, split_max=sm, col_order=co)
