@@ -19,7 +19,10 @@ at published shapes where the staging budget allows (the tunnel moves
   pruned-nn-512x33k-d10%  transformer-90 pruned-NN layer, published size
   googleplus-108k-d127    gplus shape/density (108K rows, 13.7M nnz)
   mouse-gene-45k-d640     mouse-gene shape/density (45K rows, 29M nnz)
-  pokec-1.6m-paged        pokec shape (1.63M rows, 31M nnz) — exceeds the
+  pokec-1.6m-paged        pokec shape (1.63M rows, 31M nnz) as an R-MAT
+                          graph (social-network skew AND edge locality;
+                          uniformly-random columns are a locality-free
+                          worst case no real graph exhibits) — exceeds the
                           resident VMEM budget, so it exercises the paged
                           kernel on real hardware (host.cpp:335-357 analog)
 
@@ -119,18 +122,11 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32"):
         from hisparse_tpu.models.perf_model import estimate
         base = max(8, 1 << int(round(np.log2(max(avg, 1.0)))))
         cands = [
-            (SpmvConfig(sublanes=512, bank_blocks=16, stripes=512,
-                        two_choice=True, block_major=True,
+            (SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
+                        two_choice=False, block_major=True,
                         classes_per_group=4, steal_mantissa=True), base),
             (SpmvConfig(sublanes=512, bank_blocks=16, stripes=512,
                         two_choice=True, block_major=True,
-                        classes_per_group=4, steal_mantissa=True),
-             max(8, base // 2)),
-            (SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
-                        two_choice=False, block_major=True,
-                        classes_per_group=2, steal_mantissa=True), base),
-            (SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
-                        two_choice=False, block_major=True,
                         classes_per_group=4, steal_mantissa=True), base),
         ]
         best = None
@@ -226,7 +222,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    from hisparse_tpu import uniform_sparse_csr, powerlaw_csr
+    from hisparse_tpu import uniform_sparse_csr, powerlaw_csr, rmat_csr
     from hisparse_tpu.ops.dense import DenseOperator, choose_format
     from hisparse_tpu.ops.golden import spmv_f64
     from hisparse_tpu.ops.spmv import resident_bytes, _RESIDENT_VMEM_BUDGET
@@ -245,7 +241,7 @@ def main():
         ("mouse-gene-45k-d640",
          lambda: powerlaw_csr(45000, 45000, 640, alpha=1.4, seed=5)),
         ("pokec-1.6m-paged",
-         lambda: powerlaw_csr(1632000, 1632000, 19, alpha=1.5, seed=6)),
+         lambda: rmat_csr(1632000, 1632000, 19, seed=6)),
     ]
 
     gops_list = []

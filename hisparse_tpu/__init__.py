@@ -11,7 +11,8 @@ performance model and design-space explorer (models/).
 from .config import LANES, SpmvConfig, GRAPH_CONFIG, NN_CONFIG
 from .formats.csr import (CSRMatrix, load_npz, save_npz, round_dims,
                           normalize_by_outdegree, dense_csr,
-                          uniform_sparse_csr, powerlaw_csr)
+                          uniform_sparse_csr, powerlaw_csr,
+                          rmat_csr, block_structured_csr)
 from .formats.wavepack import (Wavepack, pack, decode, save_wavepack,
                                load_wavepack)
 from .ops.spmv import SpmvOperator, spmv
@@ -21,7 +22,7 @@ __all__ = [
     "LANES", "SpmvConfig", "GRAPH_CONFIG", "NN_CONFIG",
     "CSRMatrix", "load_npz", "save_npz", "round_dims",
     "normalize_by_outdegree", "dense_csr", "uniform_sparse_csr",
-    "powerlaw_csr", "Wavepack", "pack", "decode", "save_wavepack",
+    "powerlaw_csr", "rmat_csr", "block_structured_csr", "Wavepack", "pack", "decode", "save_wavepack",
     "load_wavepack", "SpmvOperator", "spmv", "DenseOperator", "SpmmOperator",
     "choose_format",
 ]

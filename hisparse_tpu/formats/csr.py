@@ -220,6 +220,41 @@ def uniform_sparse_csr(num_rows: int, num_cols: int, nnz_per_row: int,
                      cols.reshape(-1).astype(np.int32), indptr)
 
 
+def rmat_csr(num_rows: int, num_cols: int, avg_nnz_per_row: float,
+             a: float = 0.57, b: float = 0.19, c: float = 0.19,
+             seed: int = 0, dtype=np.float32) -> CSRMatrix:
+    """R-MAT (Kronecker) random graph — the standard synthetic for social
+    networks (Graph500 uses a=0.57,b=c=0.19): power-law degrees AND edge
+    locality, unlike uniformly-random columns which are a locality-free
+    worst case no real graph exhibits.  Stand-in for the pokec/hollywood
+    class of the reference's suite (sw/bm.sh)."""
+    rng = np.random.default_rng(seed)
+    n = max(num_rows, num_cols)
+    scale = max(1, int(np.ceil(np.log2(n))))
+    # modest oversampling covers edges falling outside the
+    # (num_rows, num_cols) corner of the Kronecker square (RMAT mass
+    # concentrates at low indices, so the keep fraction is high); the
+    # surviving set is trimmed to the exact edge target
+    target = int(num_rows * avg_nnz_per_row)
+    n_edges = int(target * 1.4)
+    rows = np.zeros(n_edges, np.int64)
+    cols = np.zeros(n_edges, np.int64)
+    for lvl in range(scale):
+        u = rng.random(n_edges)
+        # quadrant probabilities (a | b / c | d) per Kronecker level
+        down = (u >= a + b)                       # c + d quadrants
+        right_q = ((u >= a) & (u < a + b)) | (u >= a + b + c)
+        rows = (rows << 1) | down
+        cols = (cols << 1) | right_q
+    keep = (rows < num_rows) & (cols < num_cols)
+    rows, cols = rows[keep][:target], cols[keep][:target]
+    import scipy.sparse as sp
+    coo = sp.coo_matrix((rng.random(rows.size).astype(dtype), (rows, cols)),
+                        shape=(num_rows, num_cols))
+    coo.sum_duplicates()
+    return CSRMatrix.from_scipy(coo.tocsr())
+
+
 def block_structured_csr(num_rows: int, num_cols: int, block_rows: int = 16,
                          block: int = 128, density_in_block: float = 0.9,
                          seed: int = 0, dtype=np.float32) -> CSRMatrix:

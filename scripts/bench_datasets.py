@@ -36,8 +36,8 @@ def suite(scale: float):
                                            1.4, seed=10)))
     out.append(("googleplus", powerlaw_csr(s(108000), s(108000),
                                            127.0, 1.2, seed=11)))
-    out.append(("pokec", powerlaw_csr(s(1632000), s(1632000), 19.0, 1.5,
-                                      seed=12)))
+    from hisparse_tpu import rmat_csr
+    out.append(("pokec", rmat_csr(s(1632000), s(1632000), 19.0, seed=12)))
     # pruned-NN suite, full size (512 x 33288 at 50..5% density)
     for pct in (50, 70, 90, 95):
         d = (100 - pct) / 100.0

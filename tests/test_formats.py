@@ -122,6 +122,35 @@ def test_schedule_constraints():
             assert len(pairs) == len(np.unique(srcs))
 
 
+def test_rmat_generator():
+    from hisparse_tpu import rmat_csr
+    m = rmat_csr(2000, 2000, 8, seed=3)
+    assert m.num_rows == m.num_cols == 2000
+    # close to the edge target (duplicates collapse a few percent)
+    assert 0.8 * 2000 * 8 <= m.nnz <= 2000 * 8
+    assert m.indices.max() < 2000
+    deg = m.row_nnz()
+    # Kronecker skew: the top percentile dominates the median
+    assert np.percentile(deg, 99) > 4 * max(np.median(deg), 1)
+    # pack/decode roundtrip
+    wp = pack(m, SpmvConfig(sublanes=128, bank_blocks=2, stripes=128),
+              split_max="auto", col_order="degree")
+    assert_same_matrix(decode(wp), m)
+
+
+def test_block_structured_generator():
+    from hisparse_tpu import block_structured_csr
+    m = block_structured_csr(1024, 1024, block_rows=3, seed=7)
+    assert m.nnz > 0
+    # nonzeros confined to 3 blocks per block-row
+    rows = np.repeat(np.arange(m.num_rows), m.row_nnz())
+    key = (rows // 128) * (m.num_cols // 128) + m.indices // 128
+    import collections
+    per_brow = collections.Counter((k // (m.num_cols // 128)) for k in
+                                   set(key.tolist()))
+    assert max(per_brow.values()) <= 3
+
+
 def test_native_matches_python_scheduler():
     from hisparse_tpu.formats import native, wavepack
     if not native.available():
