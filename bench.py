@@ -155,11 +155,12 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32"):
         splits = ((base_split, max(8, base_split // 2),
                    max(8, base_split // 4)) if big else
                   (base_split, 2 * base_split, max(8, base_split // 2)))
-        # finalists: the full cross product of the top config families,
-        # their R variants, and the split ladder — the row sample
+        # finalists, two stages of full packs — the row sample
         # systematically misranks large-R points (stripes starve below
-        # ~R*128 rows) and the best split is family-dependent, so only
-        # full packs can be trusted for any of the three axes
+        # ~R*128 rows) and the best split is family-dependent, so neither
+        # axis can be trusted from sampled stats.  Stage 1: the top config
+        # families and their R variants at the base split.  Stage 2: the
+        # split ladder on the stage-1 winner.
         def fam(c):
             return (c.block_major,
                     c.classes_per_group if c.block_major else 0,
@@ -171,16 +172,26 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32"):
             if len(fams) == (2 if big else 3):
                 break
         cands, seen_cfg = [], set()
+        per_fam = {}
         for p in pts:
-            if fam(p.cfg) in fams and p.cfg not in seen_cfg:
+            f = fam(p.cfg)
+            if (f in fams and p.cfg not in seen_cfg
+                    and per_fam.get(f, 0) < 2):
                 seen_cfg.add(p.cfg)
-                cands.extend((p.cfg, s) for s in dict.fromkeys(splits))
+                per_fam[f] = per_fam.get(f, 0) + 1
+                cands.append((p.cfg, splits[0]))
         best = None
         for cfg_c, sm in cands:
             wp_c = pack(m, cfg_c, split_max=sm, col_order=co)
             g = estimate(m, cfg_c, wp_c).gops
             if best is None or g > best[0]:
                 best = (g, cfg_c, sm, wp_c)
+        # stage 2: split ladder on the winner
+        for sm in splits[1:]:
+            wp_c = pack(m, best[1], split_max=sm, col_order=co)
+            g = estimate(m, best[1], wp_c).gops
+            if g > best[0]:
+                best = (g, best[1], sm, wp_c)
         _, cfg, split, wp = best
     if dtype == "fixed":
         import dataclasses as _dc
@@ -189,9 +200,14 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32"):
         # order-independently (spmv_fixed_vec)
         m = _dc.replace(m, data=float_to_fixed(np.abs(m.data) / (4 * avg)))
         wp = None
-    if wp is None:
-        wp = pack(m, cfg, split_max=split, col_order=co)
-    pre = time.perf_counter() - t0
+    tune_s = time.perf_counter() - t0
+    # reference-analog preprocessing cost = one pack at the chosen design
+    # point (the reference re-runs csr2cpsr per benchmark with the design
+    # baked into the bitstream; auto-tuning has no analog there and is a
+    # one-time per-matrix cost, reported separately in the tag)
+    t1 = time.perf_counter()
+    wp = pack(m, cfg, split_max=split, col_order=co)
+    pre = time.perf_counter() - t1
     op = SpmvOperator(wp, interpret=not on_tpu)
     x = np.random.default_rng(0).random(m.num_cols).astype(np.float32)
     if dtype == "fixed":
@@ -211,7 +227,8 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32"):
     tag = (f"cfg S={cfg.sublanes} B={cfg.bank_blocks} R={cfg.stripes} "
            f"tc={int(cfg.two_choice)}"
            + (f" bm/K={cfg.classes_per_group}" if cfg.block_major else "")
-           + (" fixed" if dtype == "fixed" else ""))
+           + (" fixed" if dtype == "fixed" else "")
+           + f" | tune {tune_s:5.1f} s")
     print(("OK  " if ok else "BAD ") + met.row() + " | " + tag,
           file=sys.stderr, flush=True)
     return met, ok, cfg, wp
