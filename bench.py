@@ -180,19 +180,31 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32"):
                 seen_cfg.add(p.cfg)
                 per_fam[f] = per_fam.get(f, 0) + 1
                 cands.append((p.cfg, splits[0]))
-        best = None
+        stage1 = []
         for cfg_c, sm in cands:
             wp_c = pack(m, cfg_c, split_max=sm, col_order=co)
             g = estimate(m, cfg_c, wp_c).gops
-            if best is None or g > best[0]:
-                best = (g, cfg_c, sm, wp_c)
-        # stage 2: split ladder on the winner
-        for sm in splits[1:]:
-            wp_c = pack(m, best[1], split_max=sm, col_order=co)
-            g = estimate(m, best[1], wp_c).gops
-            if g > best[0]:
-                best = (g, best[1], sm, wp_c)
-        _, cfg, split, wp = best
+            stage1.append((g, cfg_c, sm))
+        stage1.sort(key=lambda e: -e[0])
+        best = stage1[0]
+        # stage 2: split ladder on the best config of each of the top two
+        # families — the optimal split is family-dependent (K=4 wants a
+        # looser bound than K=2), so laddering only the stage-1 winner can
+        # lock in the wrong family
+        ladder, seen_f = [], set()
+        for g, cfg_c, sm in stage1:
+            if fam(cfg_c) not in seen_f:
+                seen_f.add(fam(cfg_c))
+                ladder.append(cfg_c)
+            if len(ladder) == 2:
+                break
+        for cfg_c in ladder:
+            for sm in splits[1:]:
+                wp_c = pack(m, cfg_c, split_max=sm, col_order=co)
+                g = estimate(m, cfg_c, wp_c).gops
+                if g > best[0]:
+                    best = (g, cfg_c, sm)
+        _, cfg, split = best
     if dtype == "fixed":
         import dataclasses as _dc
         cfg = _dc.replace(cfg, dtype="fixed", steal_mantissa=False)
