@@ -51,6 +51,38 @@ from ..formats.wavepack import Wavepack
 # conservative usable-VMEM budget for the resident variant (bytes)
 _RESIDENT_VMEM_BUDGET = 10 * 1024 * 1024
 
+# per-group transpose implementation: "auto" (MXU when the config's error
+# budget allows, else VPU) | "vpu" (lax.transpose) | "mxu" (identity
+# dot_general — runs on the otherwise-idle MXU, overlapping the VPU gather
+# pipeline; +8-11% measured slot rate) | "skip" (WRONG RESULTS; op-cost
+# probing only)
+_TRANSPOSE_MODE = "auto"
+
+
+def _group_t(e, mxu_ok: bool = False):
+    mode = _TRANSPOSE_MODE
+    if mode == "auto":
+        mode = "mxu" if mxu_ok else "vpu"
+    if mode == "skip":
+        return e
+    if mode == "mxu" and jnp.issubdtype(e.dtype, jnp.floating):
+        # identity matmul = transpose on the otherwise-idle MXU (+8-11%
+        # slot rate); a manual hi/lo bf16 split bounds the error at
+        # ~2^-16 relative (Mosaic's default f32 dot rounds operands to
+        # bf16, ~2^-8), within the steal_mantissa paths' existing 2^-17
+        # budget — hence the mxu_ok gate
+        ident = ((jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+                  == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1))
+                 .astype(jnp.bfloat16))
+        e_hi = e.astype(jnp.bfloat16)
+        e_lo = (e - e_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((0,), (0,)), ((), ()))
+        return (jax.lax.dot_general(e_hi, ident, dn,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(e_lo, ident, dn,
+                                      preferred_element_type=jnp.float32))
+    return e.T
+
 
 def _route_x_bm(idx, xt_get, cls_ids, cfg: SpmvConfig, src_dest=None):
     """Block-major gather: group g reads its K classes from the class map
@@ -60,6 +92,8 @@ def _route_x_bm(idx, xt_get, cls_ids, cfg: SpmvConfig, src_dest=None):
     dynamic class index (a ref read, not an array dynamic_slice — Mosaic
     supports only the former)."""
     K, G = cfg.classes_per_group, cfg.groups
+    mxu_ok = (cfg.steal_mantissa and cfg.dtype == "fp32"
+              and cfg.semiring == "plus_times")
     hT = idx & 0x7F
     bT = (idx >> 7) & 0xF
     gx_groups, src_groups = [], []
@@ -72,7 +106,7 @@ def _route_x_bm(idx, xt_get, cls_ids, cfg: SpmvConfig, src_dest=None):
         for i in range(1, K):
             ei = jnp.take_along_axis(xt_get(cls_ids[g][i]), hg, axis=1)
             e = jnp.where(bT[sl] == i, ei, e)
-        gx_groups.append(e.T)
+        gx_groups.append(_group_t(e, mxu_ok))
         if src_dest is None:
             src_groups.append(srcT[sl].T)
     gx = jnp.concatenate(gx_groups, axis=0) if G > 1 else gx_groups[0]
@@ -89,6 +123,8 @@ def _route_x(idx, xt, cfg: SpmvConfig, src_dest=None):
     crossbar map already in dest layout (steal_mantissa fast path); else it
     is decoded from the transposed index word and transposed back."""
     B, G = cfg.total_blocks, cfg.groups
+    mxu_ok = (cfg.steal_mantissa and cfg.dtype == "fp32"
+              and cfg.semiring == "plus_times")
     hT = idx & 0x7F
     bT = (idx >> 7) & 0xF
     gx_groups, src_groups = [], []
@@ -101,7 +137,7 @@ def _route_x(idx, xt, cfg: SpmvConfig, src_dest=None):
         for b in range(1, B):
             eb = jnp.take_along_axis(xt[b], hg, axis=1)
             e = jnp.where(bT[sl] == b, eb, e)
-        gx_groups.append(e.T)
+        gx_groups.append(_group_t(e, mxu_ok))
         if src_dest is None:
             src_groups.append(srcT[sl].T)
     gx = jnp.concatenate(gx_groups, axis=0) if G > 1 else gx_groups[0]
