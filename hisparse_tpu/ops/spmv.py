@@ -95,10 +95,14 @@ def _route_x_bm(idx, xt_get, cls_ids, cfg: SpmvConfig, src_dest=None):
     mxu_ok = (cfg.steal_mantissa and cfg.dtype == "fp32"
               and cfg.semiring == "plus_times")
     hT = idx & 0x7F
-    bT = (idx >> 7) & 0xF
     gx_groups, src_groups = [], []
     if src_dest is None:
+        bT = (idx >> 7) & 0xF
         srcT = (idx >> 11) & 0x7F
+    else:
+        # steal_mantissa: src rides in the values, so the idx word holds
+        # only b|h (bits 0..10) and the block field needs no mask
+        bT = idx >> 7
     for g in range(G):
         sl = slice(g * 128, (g + 1) * 128)
         hg = hT[sl]
@@ -126,10 +130,14 @@ def _route_x(idx, xt, cfg: SpmvConfig, src_dest=None):
     mxu_ok = (cfg.steal_mantissa and cfg.dtype == "fp32"
               and cfg.semiring == "plus_times")
     hT = idx & 0x7F
-    bT = (idx >> 7) & 0xF
     gx_groups, src_groups = [], []
     if src_dest is None:
+        bT = (idx >> 7) & 0xF
         srcT = (idx >> 11) & 0x7F
+    else:
+        # steal_mantissa: src rides in the values, so the idx word holds
+        # only b|h (bits 0..10) and the block field needs no mask
+        bT = idx >> 7
     for g in range(G):
         sl = slice(g * 128, (g + 1) * 128)
         hg = hT[sl]
