@@ -22,6 +22,25 @@ def test_slot_rate_interpolation():
     assert slot_rate(3) == (slot_rate(2) + slot_rate(4)) / 2
 
 
+def test_calibrated_slot_rates_load(tmp_path, monkeypatch):
+    """A slot_rates.json written by scripts/calibrate_slot_rates.py takes
+    precedence over the baked-in fallback tables."""
+    import json
+    from hisparse_tpu.models import perf_model
+    path = tmp_path / "slot_rates.json"
+    path.write_text(json.dumps({
+        "device": "test", "select_chain": {"1": 100.0, "4": 80.0},
+        "block_major": {"2": 90.0}}))
+    monkeypatch.setattr(perf_model, "_RATES_PATH", str(path))
+    monkeypatch.setattr(perf_model, "_loaded_rates", None)
+    try:
+        assert perf_model.slot_rate(1) == 100.0
+        assert perf_model.slot_rate(4) == 80.0
+        assert perf_model.slot_rate(2, block_major=True) == 90.0
+    finally:
+        perf_model._loaded_rates = None
+
+
 def test_sample_rows():
     m = powerlaw_csr(5000, 1000, 5, seed=2)
     s = sample_rows(m, 500)
