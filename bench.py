@@ -165,18 +165,23 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32"):
             return (c.block_major,
                     c.classes_per_group if c.block_major else 0,
                     c.two_choice)
+        # very large matrices afford fewer full packs: fewer families and
+        # one R variant each (each pack is tens of seconds at 30M nnz)
+        huge = m.nnz > 20_000_000
+        n_fams = 2 if big else 3
+        r_variants = 1 if huge else 2
         fams = []
         for p in pts:
             if fam(p.cfg) not in fams:
                 fams.append(fam(p.cfg))
-            if len(fams) == (2 if big else 3):
+            if len(fams) == n_fams:
                 break
         cands, seen_cfg = [], set()
         per_fam = {}
         for p in pts:
             f = fam(p.cfg)
             if (f in fams and p.cfg not in seen_cfg
-                    and per_fam.get(f, 0) < 2):
+                    and per_fam.get(f, 0) < r_variants):
                 seen_cfg.add(p.cfg)
                 per_fam[f] = per_fam.get(f, 0) + 1
                 cands.append((p.cfg, splits[0]))

@@ -107,6 +107,35 @@ def test_block_major_variants():
         check(m, cfg, seed=11)
 
 
+def test_mxu_transpose_matches_vpu():
+    """The MXU identity-matmul group transpose (hi/lo bf16 split) agrees
+    with the exact VPU transpose within the steal-mantissa error budget,
+    and engages only on steal_mantissa fp32 plus_times."""
+    import hisparse_tpu.ops.spmv as spmv_mod
+    cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=128,
+                     block_major=True, classes_per_group=2,
+                     steal_mantissa=True, two_choice=True)
+    m = powerlaw_csr(500, 3000, 6, seed=13)
+    rng = np.random.default_rng(13)
+    x = rng.random(m.num_cols).astype(np.float32)
+    wp = pack(m, cfg)
+    ref = spmv_f64(m, x)
+    scale = max(np.abs(ref).max(), 1.0)
+    ys = {}
+    orig = spmv_mod._TRANSPOSE_MODE
+    try:
+        for mode in ("vpu", "mxu"):
+            spmv_mod._TRANSPOSE_MODE = mode
+            spmv_mod._spmv_call.clear_cache()
+            ys[mode] = spmv(wp, x, interpret=True)
+            np.testing.assert_allclose(ys[mode], ref, atol=1e-4 * scale,
+                                       rtol=1e-4)
+    finally:
+        spmv_mod._TRANSPOSE_MODE = orig
+        spmv_mod._spmv_call.clear_cache()
+    assert np.abs(ys["mxu"] - ys["vpu"]).max() <= 1e-4 * scale
+
+
 def test_block_major_multiblock_paged():
     cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=128,
                      block_major=True, classes_per_group=2, two_choice=True)
