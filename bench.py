@@ -68,7 +68,7 @@ def tune_grid(num_rows=None, avg_nnz=None):
     pts = []
     for R in r_big:
         # (B, K, two_choice) winners from the round-2 on-chip sweep
-        # (scratch/tpu_sweep_r2.py): K=2 for slot rate, tc0 halves the x
+        # (scripts/tpu_sweep.py): K=2 for slot rate, tc0 halves the x
         # tile at equal fill under degree ordering, K=4/8 for
         # spread-column graphs where the per-group class choice starves
         for B, K, tc in ((4, 2, True), (8, 2, False), (8, 4, False),
@@ -116,7 +116,7 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32"):
         # huge graphs: a row sample holds ~1 row block and cannot see the
         # (block, partition) segment quantization of the full matrix, so
         # the sampled tuner is structurally blind.  Use full-pack
-        # candidates from the measured frontier (scratch/tpu_sweep_r2.py):
+        # candidates from the measured frontier (scripts/tpu_sweep.py):
         # large VB + large row blocks minimize segment count.
         co = col_order
         from hisparse_tpu.models.perf_model import estimate

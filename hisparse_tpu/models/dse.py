@@ -52,7 +52,7 @@ def default_grid():
     # the block-major family (class-group scheduling) — the benchmark's
     # best-performing points on graph suites; steal_mantissa rides the
     # values so the kernel skips the src-decode transpose.  (B, K, tc)
-    # set from the round-2 on-chip sweep (scratch/tpu_sweep_r2.py).
+    # set from the round-2 on-chip sweep (scripts/tpu_sweep.py).
     for B, K, tc in ((4, 2, True), (8, 2, False), (8, 4, False),
                      (16, 4, True)):
         for R in (128, 512):

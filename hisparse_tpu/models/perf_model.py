@@ -125,7 +125,7 @@ def estimate(m: CSRMatrix, cfg: SpmvConfig, wp: Wavepack,
     n_ops = (cfg.classes_per_group if cfg.block_major
              else cfg.total_blocks)
     rate = slot_rate(n_ops, cfg.block_major)
-    # measured on v5e (scratch/tpu_sweep_r2.py): the doubled/large x tile
+    # measured on v5e (scripts/tpu_sweep.py): the doubled/large x tile
     # slows the gathers beyond what operand count alone predicts
     if cfg.block_major:
         if cfg.bank_blocks > 8:
