@@ -27,8 +27,9 @@ at published shapes where the staging budget allows (the tunnel moves
                           kernel on real hardware (host.cpp:335-357 analog)
 
 Two stderr-only tracking rows (not in the geomean): fixed-point Q8.24 on
-powerlaw-100k (paper Table 7's headline fixed-vs-float comparison) and the
-BCSR/SpMM dense-block MXU path.
+uniform-60k (paper Table 7's headline fixed-vs-float comparison; the
+saturation-free fixture keeps bit-exactness checkable) and the BCSR/SpMM
+dense-block MXU path.
 
 vs_baseline compares against the reference's overall geomean of 16.7 GOPS
 on the U280 (BASELINE.md, paper Table 3).
