@@ -14,6 +14,12 @@ Each point packs a dense-row uniform matrix (schedule fill ~1 so slots, not
 padding, dominate) and times the on-device repetition loop.  Run with no
 arguments; pass --dry to print without writing.
 
+The committed fallback tables in models/perf_model.py were taken from
+real-workload measurements (scripts/tpu_sweep.py), which rank configs
+slightly better than this synthetic fixture; run this after a hardware
+change and sanity-check the resulting picks against a tpu_sweep run
+before trusting the written json.
+
 Usage: python scripts/calibrate_slot_rates.py [--dry]
 """
 import argparse
