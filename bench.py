@@ -94,9 +94,36 @@ def tune_grid(num_rows=None, avg_nnz=None):
     return pts
 
 
-def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32"):
+TUNE_CACHE_PATH = "/root/repo/bench_tuned.json"
+
+
+def _tune_cache_load():
+    try:
+        with open(TUNE_CACHE_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _tune_cache_store(key, cfg, split, co):
+    d = _tune_cache_load()
+    import dataclasses as _dc
+    d[key] = {"cfg": _dc.asdict(cfg), "split": split,
+              "col_order": co if isinstance(co, (str, type(None))) else None}
+    with open(TUNE_CACHE_PATH, "w") as f:
+        json.dump(d, f, indent=1, sort_keys=True)
+
+
+def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
+                retune=False):
     """Tune, pack, verify and measure one matrix.  Returns (metrics, ok,
-    config, wavepack)."""
+    config, wavepack).
+
+    Tuned design points persist in bench_tuned.json keyed by the matrix
+    identity — the analog of the reference baking its DSE-chosen bank
+    sizes into the bitstream (design_space_exp.cpp): tuning is a one-time
+    per-matrix cost; packing, upload, verification and measurement always
+    run live.  Pass retune=True (or delete the file) to re-tune."""
     import jax
     from hisparse_tpu import pack, SpmvConfig, SpmvOperator
     from hisparse_tpu.models.dse import best_config
@@ -108,7 +135,12 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32"):
     density = m.nnz / max(m.num_rows * m.num_cols, 1)
     avg = m.nnz / max(m.num_rows, 1)
     wp = None
-    if density >= 0.05:
+    ckey = f"{name}:{m.num_rows}x{m.num_cols}:{m.nnz}:{dtype}"
+    cached = None if retune else _tune_cache_load().get(ckey)
+    if cached is not None:
+        cfg = SpmvConfig(**cached["cfg"])
+        split, co = cached["split"], cached["col_order"]
+    elif density >= 0.05:
         # dense-rows regime: the DSE answer is known (many slots per row);
         # skip the per-config packs, they dominate preprocessing
         cfg, split, co = SpmvConfig(sublanes=512, bank_blocks=2, stripes=4,
@@ -218,6 +250,8 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32"):
         # order-independently (spmv_fixed_vec)
         m = _dc.replace(m, data=float_to_fixed(np.abs(m.data) / (4 * avg)))
         wp = None
+    if cached is None:
+        _tune_cache_store(ckey, cfg, split, co)
     tune_s = time.perf_counter() - t0
     # reference-analog preprocessing cost = one pack at the chosen design
     # point (the reference re-runs csr2cpsr per benchmark with the design
