@@ -250,8 +250,6 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
         # order-independently (spmv_fixed_vec)
         m = _dc.replace(m, data=float_to_fixed(np.abs(m.data) / (4 * avg)))
         wp = None
-    if cached is None:
-        _tune_cache_store(ckey, cfg, split, co)
     tune_s = time.perf_counter() - t0
     # reference-analog preprocessing cost = one pack at the chosen design
     # point (the reference re-runs csr2cpsr per benchmark with the design
@@ -274,6 +272,10 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
         ref = spmv_f64(m, np.asarray(x))
         err = np.abs(y - ref).max() / max(np.abs(ref).max(), 1)
         ok = err < 1e-4
+    # persist the tuned point only once the config verified good, so a BAD
+    # design point is never silently reused from the cache
+    if cached is None and ok:
+        _tune_cache_store(ckey, cfg, split, co)
     met = measure_spmv(name, op, x, m.nnz, wp.stream_bytes,
                        preproc_s=pre, fill=wp.fill)
     tag = (f"cfg S={cfg.sublanes} B={cfg.bank_blocks} R={cfg.stripes} "
@@ -347,7 +349,10 @@ def main():
             print(f"    dense-bf16 path: {dt*1e3:.4f} ms | {dgops:7.1f} GOPS"
                   f" | stream {dop.stream_bytes/dt/1e9:6.1f} GB/s | "
                   f"err {errd:.1e}", file=sys.stderr, flush=True)
-            if errd < 3e-2 and dgops > best_gops:
+            # the geomean correctness bar is the same 1e-4 every sparse
+            # entry passes (sw/host.cpp:62); looser bf16 numbers stay a
+            # stderr-only tracking row
+            if errd < 1e-4 and dgops > best_gops:
                 best_gops = dgops
         gops_list.append(best_gops)
         del m, wp

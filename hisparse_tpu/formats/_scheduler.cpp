@@ -132,6 +132,11 @@ extern "C" void wp_schedule_segments(
           it->remaining -= placed;
           if (first_alive >= 0) it->alive0 = first_alive;
           if (placed) {
+            // INVARIANT (wp_emit depends on this): marking the bank used
+            // guarantees every nonzero sharing this wave's (lane) gather
+            // slot came from THIS item — one (bank, addr) column — so
+            // duplicate gather-slot writes in wp_emit carry identical
+            // b|h fields and OR-ing them is write-order independent.
             used_banks[lane] = true;
             ++banks_used;
             rows_used += placed;
@@ -361,6 +366,9 @@ extern "C" int64_t wp_schedule_bm(
             }
             if (first_alive >= 0) it->alive0 = first_alive;
             if (placed) {
+              // same wp_emit invariant as wp_schedule_segments: a used
+              // bank pins this wave's gather lane to one item's column,
+              // so duplicate emission writes carry identical fields
               used_banks[lane] = true;
               ++banks_used;
               placed_rows += placed;

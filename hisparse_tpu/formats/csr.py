@@ -204,9 +204,18 @@ def uniform_sparse_csr(num_rows: int, num_cols: int, nnz_per_row: int,
 
     Vectorized rejection sampling: draw all rows at once, re-draw colliding
     slots until every row's columns are distinct (expected O(log) rounds
-    even at 10% density)."""
+    even at 10% density).  Rejection stalls as density approaches 1, so
+    rows denser than half the columns fall back to per-row permutations."""
     assert nnz_per_row <= num_cols
     rng = np.random.default_rng(seed)
+    if nnz_per_row > num_cols // 2:
+        cols = np.stack([rng.permutation(num_cols)[:nnz_per_row]
+                         for _ in range(num_rows)])
+        cols.sort(axis=1)
+        data = rng.random(num_rows * nnz_per_row, np.float32).astype(dtype)
+        indptr = np.arange(num_rows + 1, dtype=np.int64) * nnz_per_row
+        return CSRMatrix(num_rows, num_cols, data,
+                         cols.reshape(-1).astype(np.int32), indptr)
     cols = rng.integers(0, num_cols, (num_rows, nnz_per_row), dtype=np.int64)
     while True:
         cols.sort(axis=1)

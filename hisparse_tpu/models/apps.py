@@ -127,7 +127,7 @@ from ..ops.spmv import SpmvOperator, _spmv_call
 
 
 def _op_args(op):
-    base = (op.vals, op.idxT, op.part, op.block, op.first, op.last)
+    base = (op.vals, op.idxT, op.part, op.block, op.first)
     return base + ((op.cmap,) if op.cmap is not None else ())
 
 

@@ -69,8 +69,10 @@ def _group_t(e, mxu_ok: bool = False):
         # identity matmul = transpose on the otherwise-idle MXU (+8-11%
         # slot rate); a manual hi/lo bf16 split bounds the error at
         # ~2^-16 relative (Mosaic's default f32 dot rounds operands to
-        # bf16, ~2^-8), within the steal_mantissa paths' existing 2^-17
-        # budget — hence the mxu_ok gate
+        # bf16, ~2^-8).  Combined with the steal_mantissa 2^-17 the total
+        # is ~2^-15.5 — still orders of magnitude under the 1e-4 test
+        # tolerance, which is the gate that actually matters (mxu_ok
+        # restricts this path to steal_mantissa fp32 plus_times)
         ident = ((jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
                   == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1))
                  .astype(jnp.bfloat16))
@@ -84,49 +86,18 @@ def _group_t(e, mxu_ok: bool = False):
     return e.T
 
 
-def _route_x_bm(idx, xt_get, cls_ids, cfg: SpmvConfig, src_dest=None):
-    """Block-major gather: group g reads its K classes from the class map
-    (cls_ids, a list of lists of scalar class ids per group) — K gathers +
-    K-1 selects per group, independent of the total block count.
-    ``xt_get(c)`` loads one (128,128) transposed x block from the ref at a
-    dynamic class index (a ref read, not an array dynamic_slice — Mosaic
-    supports only the former)."""
-    K, G = cfg.classes_per_group, cfg.groups
-    mxu_ok = (cfg.steal_mantissa and cfg.dtype == "fp32"
-              and cfg.semiring == "plus_times")
-    hT = idx & 0x7F
-    gx_groups, src_groups = [], []
-    if src_dest is None:
-        bT = (idx >> 7) & 0xF
-        srcT = (idx >> 11) & 0x7F
-    else:
-        # steal_mantissa: src rides in the values, so the idx word holds
-        # only b|h (bits 0..10) and the block field needs no mask
-        bT = idx >> 7
-    for g in range(G):
-        sl = slice(g * 128, (g + 1) * 128)
-        hg = hT[sl]
-        e = jnp.take_along_axis(xt_get(cls_ids[g][0]), hg, axis=1)
-        for i in range(1, K):
-            ei = jnp.take_along_axis(xt_get(cls_ids[g][i]), hg, axis=1)
-            e = jnp.where(bT[sl] == i, ei, e)
-        gx_groups.append(_group_t(e, mxu_ok))
-        if src_dest is None:
-            src_groups.append(srcT[sl].T)
-    gx = jnp.concatenate(gx_groups, axis=0) if G > 1 else gx_groups[0]
-    if src_dest is None:
-        src_dest = (jnp.concatenate(src_groups, axis=0) if G > 1
-                    else src_groups[0])
-    return jnp.take_along_axis(gx, src_dest, axis=1)
-
-
-def _route_x(idx, xt, cfg: SpmvConfig, src_dest=None):
+def _route_x(idx, block_get, n_ops: int, cfg: SpmvConfig, src_dest=None):
     """Shared per-tile gather pipeline: decode -> banked gather -> row
-    crossbar.  ``xt`` is (B, 128, 128) transposed x-bank blocks; returns the
-    (S, 128) routed x values in dest-slot layout.  ``src_dest`` carries the
-    crossbar map already in dest layout (steal_mantissa fast path); else it
-    is decoded from the transposed index word and transposed back."""
-    B, G = cfg.total_blocks, cfg.groups
+    crossbar.  ``block_get(g, i)`` returns the (128,128) transposed x block
+    that sublane group g's operand i gathers from — for the select-chain
+    path that is simply bank block i (same for every group); for block-major
+    it is a class-map-indexed ref read (Mosaic supports dynamic ref reads
+    but not array dynamic_slice).  ``n_ops`` is the gather-operand count per
+    group (total_blocks or classes_per_group).  Returns the (S, 128) routed
+    x values in dest-slot layout.  ``src_dest`` carries the crossbar map
+    already in dest layout (steal_mantissa fast path); else it is decoded
+    from the transposed index word and transposed back."""
+    G = cfg.groups
     mxu_ok = (cfg.steal_mantissa and cfg.dtype == "fp32"
               and cfg.semiring == "plus_times")
     hT = idx & 0x7F
@@ -141,10 +112,10 @@ def _route_x(idx, xt, cfg: SpmvConfig, src_dest=None):
     for g in range(G):
         sl = slice(g * 128, (g + 1) * 128)
         hg = hT[sl]
-        e = jnp.take_along_axis(xt[0], hg, axis=1)
-        for b in range(1, B):
-            eb = jnp.take_along_axis(xt[b], hg, axis=1)
-            e = jnp.where(bT[sl] == b, eb, e)
+        e = jnp.take_along_axis(block_get(g, 0), hg, axis=1)
+        for i in range(1, n_ops):
+            ei = jnp.take_along_axis(block_get(g, i), hg, axis=1)
+            e = jnp.where(bT[sl] == i, ei, e)
         gx_groups.append(_group_t(e, mxu_ok))
         if src_dest is None:
             src_groups.append(srcT[sl].T)
@@ -211,14 +182,15 @@ def _acc_init(cfg: SpmvConfig, like):
 def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig, cls_ids=None):
     """``xt`` is the loaded (CT,128,128) block array for the select-chain
     path, or a ref-getter function c -> (128,128) for block-major."""
-    route = (functools.partial(_route_x_bm, cls_ids=cls_ids, cfg=cfg)
-             if cfg.block_major
-             else functools.partial(_route_x, cfg=cfg))
+    if cfg.block_major:
+        n_ops = cfg.classes_per_group
+        get = lambda cast: lambda g, i: cast(xt(cls_ids[g][i]))
+    else:
+        n_ops = cfg.total_blocks
+        get = lambda cast: lambda g, i: cast(xt[i])
+    route = functools.partial(_route_x, n_ops=n_ops, cfg=cfg)
     if cfg.dtype == "fixed":
-        if cfg.block_major:
-            xi = route(idx, lambda c: pltpu_bitcast_i32(xt(c)))
-        else:
-            xi = route(idx, pltpu_bitcast_i32(xt))
+        xi = route(idx, get(pltpu_bitcast_i32))
         routed = pltpu_bitcast_u32(xi)
         return _fixed_madd(acc, vals, routed)
     if cfg.steal_mantissa:
@@ -226,9 +198,9 @@ def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig, cls_ids=None):
         src_dest = vbits & 0x7F
         vals = jax.lax.bitcast_convert_type(vbits & jnp.int32(-128),
                                             jnp.float32)
-        routed = route(idx, xt, src_dest=src_dest)
+        routed = route(idx, get(lambda b: b), src_dest=src_dest)
     else:
-        routed = route(idx, xt)
+        routed = route(idx, get(lambda b: b))
     if cfg.semiring == "min_plus":
         return jnp.minimum(acc, vals + routed)
     if cfg.semiring == "max_times":
@@ -298,7 +270,7 @@ def resident_bytes(cfg: SpmvConfig, n_blocks: int, n_parts: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_parts",
                                              "interpret", "variant"))
-def _spmv_call(vals, idxT, part, block, first, last, x, cmap=None, *,
+def _spmv_call(vals, idxT, part, block, first, x, cmap=None, *,
                cfg: SpmvConfig, n_blocks: int, n_parts: int,
                interpret: bool = False, variant: str = "auto"):
     S, B, R = cfg.sublanes, cfg.bank_blocks, cfg.stripes
@@ -436,7 +408,6 @@ class SpmvOperator:
         self.part = jnp.asarray(wp.tile_part)
         self.block = jnp.asarray(wp.tile_block)
         self.first = jnp.asarray(wp.tile_first)
-        self.last = jnp.asarray(wp.tile_last)
         self.cmap = (jnp.asarray(wp.class_map.reshape(-1))
                      if wp.class_map is not None else None)
 
@@ -448,7 +419,7 @@ class SpmvOperator:
             x = jnp.asarray(x)[self._colp]
         y_blocks = _spmv_call(
             self.vals, self.idxT, self.part, self.block, self.first,
-            self.last, jnp.asarray(x), self.cmap,
+            jnp.asarray(x), self.cmap,
             cfg=self.cfg, n_blocks=self.wp.n_blocks,
             n_parts=self.wp.n_parts, interpret=self.interpret,
             variant=self.variant)

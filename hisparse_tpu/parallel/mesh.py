@@ -118,11 +118,10 @@ class ShardedSpmv:
         self.part = stack(lambda w: w.tile_part)
         self.block = stack(lambda w: w.tile_block)
         self.first = stack(lambda w: w.tile_first)
-        self.last = stack(lambda w: w.tile_last)
         self.cmap = (stack(lambda w: w.class_map.reshape(-1))
                      if st[0].class_map is not None else None)
         spec = NamedSharding(mesh, P(axis))
-        names = ["vals", "idxT", "part", "block", "first", "last"]
+        names = ["vals", "idxT", "part", "block", "first"]
         if self.cmap is not None:
             names.append("cmap")
         for name in names:
@@ -136,14 +135,14 @@ class ShardedSpmv:
 
         has_cmap = self.cmap is not None
 
-        def local(vals, idxT, part, block, first, last, x, *cm):
+        def local(vals, idxT, part, block, first, x, *cm):
             cmap = cm[0][0] if has_cmap else None
             y = _spmv_call(vals[0], idxT[0], part[0], block[0], first[0],
-                           last[0], x, cmap, cfg=cfg, n_blocks=NB,
+                           x, cmap, cfg=cfg, n_blocks=NB,
                            n_parts=NP, interpret=interpret)
             return y[None]
 
-        in_specs = [P(axis)] * 6 + [P()] + ([P(axis)] if has_cmap else [])
+        in_specs = [P(axis)] * 5 + [P()] + ([P(axis)] if has_cmap else [])
         self._sharded = jax.jit(jax.shard_map(
             local, mesh=self.mesh, in_specs=tuple(in_specs),
             out_specs=P(axis), check_vma=False))
@@ -156,7 +155,7 @@ class ShardedSpmv:
             x = float_to_fixed(np.asarray(x))
         extra = (self.cmap,) if self.cmap is not None else ()
         return self._sharded(self.vals, self.idxT, self.part, self.block,
-                             self.first, self.last, jnp.asarray(x), *extra)
+                             self.first, jnp.asarray(x), *extra)
 
     def unpack_y(self, y_sharded) -> np.ndarray:
         """Assemble the global y on host from per-device renamed blocks."""

@@ -108,22 +108,21 @@ def measure_spmv(name: str, op, x, nnz: int, stream_bytes: int,
     from ..ops.spmv import _spmv_call
 
     if op.cmap is not None:
-        def fn(xx, vals, idxT, part, block, first, last, cmap):
-            y = _spmv_call(vals, idxT, part, block, first, last, xx, cmap,
+        def fn(xx, vals, idxT, part, block, first, cmap):
+            y = _spmv_call(vals, idxT, part, block, first, xx, cmap,
                            cfg=op.cfg, n_blocks=op.wp.n_blocks,
                            n_parts=op.wp.n_parts, interpret=op.interpret,
                            variant=op.variant)
             return y.reshape(-1)
-        args = (op.vals, op.idxT, op.part, op.block, op.first, op.last,
-                op.cmap)
+        args = (op.vals, op.idxT, op.part, op.block, op.first, op.cmap)
     else:
-        def fn(xx, vals, idxT, part, block, first, last):
-            y = _spmv_call(vals, idxT, part, block, first, last, xx,
+        def fn(xx, vals, idxT, part, block, first):
+            y = _spmv_call(vals, idxT, part, block, first, xx,
                            cfg=op.cfg, n_blocks=op.wp.n_blocks,
                            n_parts=op.wp.n_parts, interpret=op.interpret,
                            variant=op.variant)
             return y.reshape(-1)
-        args = (op.vals, op.idxT, op.part, op.block, op.first, op.last)
+        args = (op.vals, op.idxT, op.part, op.block, op.first)
     dt = device_loop_time(fn, jnp.asarray(x), *args)
     return SpmvMetrics(
         name=name, preproc_s=preproc_s, spmv_ms=dt * 1e3,
