@@ -8,6 +8,10 @@ statically-scheduled waves (ops/spmv.py), with fp32 / saturating fixed-point
 Q8.24 / dense-MXU paths, multi-chip sharding (parallel/), an analytical
 performance model and design-space explorer (models/).
 """
+from .utils.hostmem import tune_allocator as _tune_allocator
+
+_tune_allocator()   # page-fault-bound hosts: see utils/hostmem.py
+
 from .config import LANES, SpmvConfig, GRAPH_CONFIG, NN_CONFIG
 from .formats.csr import (CSRMatrix, load_npz, save_npz, round_dims,
                           normalize_by_outdegree, dense_csr,
