@@ -1,381 +1,428 @@
-// Wavepack wave scheduler — C++ twin of formats/wavepack.py::_schedule.
+// Fused wavepack packer — the C++ production twin of formats/wavepack.py.
 //
-// The role of this code in the framework matches the reference's CPU
-// preprocessor hot loops (csr2cpsr + packing, sw/data_formatter.h:465-544,
-// sw/host.cpp:163-231): an O(nnz)-ish sequential pass that must hit the
-// paper's preprocessing budget (Table 8: <= ~11 s for 124M nonzeros on one
-// thread).  The algorithm is byte-identical to the Python reference
-// implementation so tests can compare outputs exactly:
+// The role of this code matches the reference's CPU preprocessor hot loops
+// (csr2cpsr + packet packing, sw/data_formatter.h:465-544, sw/host.cpp:
+// 163-231): an O(nnz) sequential pipeline that must hit the paper's
+// preprocessing budget (Table 8: ~12 Mnnz/s on one thread).  The whole
+// pipeline runs native in one pass per stage:
 //
-//   per (block, part) segment, per stripe: greedy per-wave matching between
-//   pending *columns* (dedup'd gather slots, two candidate banks each) and
-//   free banks, visiting columns by remaining-rows descending, placing
-//   every still-free row lane of the visited column.  The wave ends as soon
-//   as all 128 row lanes or all 128 banks are consumed; the visit order is
-//   maintained incrementally (modified items re-merged) instead of
-//   re-sorted, keeping the pass near-linear.
+//   1. build   — per-nonzero field computation straight off the CSR
+//                (renamed row -> block/stripe/lane, column -> partition/
+//                bank/address), one 24-byte record per nonzero, the value
+//                bits riding along so emission never gathers
+//   2. sort    — LSD radix sort on a composite (segment, stripe, class,
+//                bank, address) key; stable, so ties keep CSR order
+//                exactly like np.argsort(kind="stable") in the twin
+//   3. schedule— conflict-free wave assignment (see below)
+//   4. emit    — value tile + transposed index word scatter plus all tile
+//                metadata (block/part/first/last/class_map)
 //
-// Build: g++ -O2 -shared -fPIC -o _scheduler.so _scheduler.cpp
+// Scheduling model: per (row block, column partition) segment, nonzeros
+// group into "items" = one distinct column within one stripe (<= 128 rows,
+// all on distinct row lanes).  A wave places at most one item per gather
+// bank and each row lane once; an item may place all its free rows at once
+// (hub columns broadcast, the TPU upgrade over the reference's serializing
+// arbiter, spmv/libfpga/shuffle.h:24-99).  Items queue per candidate bank
+// (primary, and a second-choice bank/class under two_choice) sorted by
+// descending row count; each wave walks every bank's queue head with a
+// try cap of 2 — O(nonzeros + waves * live banks) total, replacing the
+// round-2 list-scan greedy whose fruitless walks went superlinear in
+// thin-fill regimes.
+//
+// The Python twins (wavepack._schedule / _schedule_block_major and the
+// numpy emission in wavepack.pack) implement the identical algorithm;
+// tests/test_formats.py asserts byte-identical streams.  Change BOTH.
+//
+// Build: g++ -O3 -shared -fPIC -o _scheduler.so _scheduler.cpp
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <ctime>
 #include <vector>
 #include <algorithm>
-#include <cstring>
+
+namespace {
+// WP_PROF=1: print per-stage wall times to stderr (perf debugging)
+inline double now_s() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
+inline bool wp_prof() {
+  static int v = -1;
+  if (v < 0) { const char* e = getenv("WP_PROF"); v = e && e[0] == '1'; }
+  return v;
+}
+inline int32_t fruitless_cap() {        // experiment knob; default 128
+  static int32_t v = -1;
+  if (v < 0) { const char* e = getenv("WP_FCAP"); v = e ? atoi(e) : 128; }
+  return v;
+}
+}  // namespace
 
 namespace {
 
-struct Item {
-  int32_t bank;     // first-choice gather lane
-  int32_t bank2;    // second-choice gather lane (== bank if disabled)
-  int32_t remaining;
-  int32_t head;     // index into nz-index storage
-  int32_t count;    // total entries
-  int32_t alive0;   // first alive offset hint
+inline int32_t bank_shift(int64_t b) {
+  return static_cast<int32_t>((b * 61 + 17) % 127 + 1);
+}
+
+struct Rec {        // one nonzero, 24 bytes; sorted by key
+  int64_t key;
+  uint32_t val;     // value bits (fp32 or fixed u32)
+  int32_t nz;       // original CSR position (leftover reporting)
+  uint16_t sigma;   // stripe within block
+  uint16_t a;       // in-partition address: column = part*VB + a*128 + bank
+  uint8_t lam;      // row lane
+  uint8_t bank;     // gather lane (primary)
+  uint8_t alive;    // not yet placed (scheduler state; rides in the pad)
+  uint8_t pad1;
 };
 
-}  // namespace
+struct SchedOut {  // per-record schedule result, one cache touch to write
+  int32_t t;        // tile (bm) / wave-within-stripe then tile (chain)
+  int16_t s;        // sublane within tile
+  uint8_t lane;     // gather lane used
+  uint8_t flags;    // bit0 placed, bit1 second-choice
+  int32_t bsel;     // local class index (bm); padded for alignment
+};
 
-extern "C" void wp_schedule_segments(
-    int64_t n_segs, const int64_t* seg_bounds,
-    const int32_t* stripe, const int32_t* lam,
-    const int32_t* bank, const int32_t* addr,
-    const int32_t* bank2,
-    int64_t* k_of, uint8_t* choice) {
-  std::vector<int64_t> store;      // nz indices per item, CSR order
+struct Item {       // one (stripe, column); 20 bytes for cache density
+  int32_t head;     // first record (sorted order)
+  uint16_t count;   // rows on distinct lanes (runs > 64K split at build)
+  uint16_t remaining;
+  uint16_t alive0;  // scan hint: first possibly-alive offset
+  uint8_t b1, b2;   // gather lanes (primary / second choice)
+  uint8_t c1, c2;   // x-block classes (block-major)
+  int32_t stamp;    // last wave id this item placed in (per segment)
+};
+
+struct PlanState {
+  int32_t R, S, B, CT, K, G, Rp, n_blocks, n_parts;
+  int32_t two_choice, block_major;
+  int64_t nnz, T_total, n_left;
+  std::vector<Rec> recs, tmp;
+  std::vector<int64_t> seg_bounds;           // record ranges per segment
+  std::vector<int32_t> seg_block, seg_part;
+  std::vector<int64_t> seg_tiles;
+  std::vector<SchedOut> out;                 // per-record schedule outputs
+  std::vector<int32_t> class_map;            // (T, G, K) flattened (bm)
+  // reusable scratch
   std::vector<Item> items;
-  std::vector<Item*> pending;
-  std::vector<uint8_t> alive;
-
-  for (int64_t seg = 0; seg < n_segs; ++seg) {
-    int64_t lo = seg_bounds[seg], hi = seg_bounds[seg + 1];
-    int64_t i = lo;
-    while (i < hi) {
-      // stripe run
-      int32_t st = stripe[i];
-      int64_t send = i;
-      while (send < hi && stripe[send] == st) ++send;
-
-      // build items: runs of equal (bank, addr) — input is sorted
-      items.clear();
-      store.clear();
-      int64_t p = i;
-      while (p < send) {
-        int32_t b = bank[p], a = addr[p];
-        Item it;
-        it.bank = b;
-        it.bank2 = bank2[p];
-        it.head = static_cast<int32_t>(store.size());
-        while (p < send && bank[p] == b && addr[p] == a) {
-          store.push_back(p);
-          ++p;
-        }
-        it.count = static_cast<int32_t>(store.size()) - it.head;
-        it.remaining = it.count;
-        it.alive0 = 0;
-        items.push_back(it);
-      }
-      alive.assign(store.size(), 1);
-
-      pending.clear();
-      for (auto& it : items) pending.push_back(&it);
-      std::stable_sort(pending.begin(), pending.end(),
-                       [](const Item* x, const Item* y) {
-                         return x->remaining > y->remaining;
-                       });
-
-      int64_t k = 0;
-      bool used_banks[128], used_rows[128];
-      while (!pending.empty()) {
-        std::memset(used_banks, 0, sizeof used_banks);
-        std::memset(used_rows, 0, sizeof used_rows);
-        int rows_used = 0, banks_used = 0;
-        // cursor walk with lazy swap-removal of drained items; stops at
-        // bank/row exhaustion — O(visited) per wave instead of an O(list)
-        // rebuild (see wp_schedule_bm for the rationale)
-        size_t idx = 0;
-        int32_t fruitless = 0;
-        while (idx < pending.size()) {
-          if (rows_used == 128 || banks_used == 128
-              || fruitless >= 128) break;
-          Item* it = pending[idx];
-          if (it->remaining == 0) {             // drained: swap-remove
-            pending[idx] = pending.back();
-            pending.pop_back();
-            continue;                            // revisit slot idx
-          }
-          int32_t lane;
-          uint8_t ch;
-          if (!used_banks[it->bank]) {
-            lane = it->bank; ch = 0;
-          } else if (!used_banks[it->bank2]) {
-            lane = it->bank2; ch = 1;
-          } else {
-            ++idx;
-            ++fruitless;
-            continue;
-          }
-          int32_t placed = 0;
-          int32_t first_alive = -1;
-          for (int32_t o = it->alive0; o < it->count; ++o) {
-            if (!alive[it->head + o]) continue;
-            int64_t nz = store[it->head + o];
-            int32_t lm = lam[nz];
-            if (used_rows[lm]) {
-              if (first_alive < 0) first_alive = o;
-              continue;
-            }
-            used_rows[lm] = true;
-            alive[it->head + o] = 0;
-            k_of[nz] = k;
-            choice[nz] = ch;
-            ++placed;
-          }
-          it->remaining -= placed;
-          if (first_alive >= 0) it->alive0 = first_alive;
-          if (placed) {
-            // INVARIANT (wp_emit depends on this): marking the bank used
-            // guarantees every nonzero sharing this wave's (lane) gather
-            // slot came from THIS item — one (bank, addr) column — so
-            // duplicate gather-slot writes in wp_emit carry identical
-            // b|h fields and OR-ing them is write-order independent.
-            used_banks[lane] = true;
-            ++banks_used;
-            rows_used += placed;
-            fruitless = 0;
-          } else {
-            ++fruitless;
-          }
-          ++idx;
-        }
-        ++k;
-      }
-      i = send;
-    }
-  }
-}
-
-// ---------------------------------------------------------------------------
-// Stream emission — C++ twin of the numpy scatter block in wavepack.pack()
-// (the analog of the reference's packet-image build, sw/host.cpp:163-231).
-// Writes the value tile at dest slots and the packed index word directly at
-// its per-group TRANSPOSED position (the numpy path builds `packed` then
-// copies through reshape/swapaxes; here idxT[t, g*128 + lane, s%128] is
-// written in one pass).  Bit fields are disjoint (gather role bits 0..10,
-// dest role bits 11..17) and duplicate gather-slot writes carry identical
-// values, so write order does not matter — output is byte-identical to the
-// numpy fallback (asserted by tests/test_formats.py).
-// ---------------------------------------------------------------------------
-extern "C" void wp_emit(
-    int64_t nnz, const int64_t* t_glob, const int64_t* s_loc,
-    const int32_t* lane_used, const int32_t* lam,
-    const int32_t* bfield, const int32_t* ha_field,
-    const uint32_t* vals_bits, int32_t steal_mantissa, int32_t S,
-    uint32_t* vals_out, int32_t* idxT_out) {
-  for (int64_t i = 0; i < nnz; ++i) {
-    int64_t s = s_loc[i];
-    int64_t g = s >> 7, r = s & 127;
-    size_t base = (size_t)t_glob[i] * S * 128;
-    size_t gbase = base + ((size_t)g << 7) * 128;
-    int32_t lane = lane_used[i];
-    idxT_out[gbase + (size_t)lane * 128 + r] |= (bfield[i] << 7) | ha_field[i];
-    int32_t lm = lam[i];
-    if (steal_mantissa) {
-      vals_out[base + (size_t)s * 128 + lm] =
-          (vals_bits[i] & 0xFFFFFF80u) | (uint32_t)lane;
-    } else {
-      idxT_out[gbase + (size_t)lm * 128 + r] |= lane << 11;
-      vals_out[base + (size_t)s * 128 + lm] = vals_bits[i];
-    }
-  }
-}
-
-// ---------------------------------------------------------------------------
-// Block-major (class-group) scheduler — C++ twin of
-// wavepack._schedule_block_major.  Same greedy, same tie-breaking, same
-// incremental-merge order maintenance; outputs must match the Python twin
-// exactly (tests compare them).
-// ---------------------------------------------------------------------------
-namespace {
-
-struct BmItem {
-  int32_t remaining;
-  int32_t j1, j2, c1, c2;
-  int32_t head, count, alive0;
-  int64_t stamp;
+  std::vector<std::vector<int32_t>> pend;    // bm: per (stripe, class)
+  std::vector<int32_t> cnt_rlc;              // (R,128,CT) bm row coverage
+  std::vector<int64_t> rows_cnt;             // (R,CT)
 };
+PlanState g;
 
-}  // namespace
+void radix_sort(std::vector<Rec>& v, std::vector<Rec>& tmp, int64_t maxkey) {
+  int passes = 1;
+  while (maxkey >> (8 * passes)) ++passes;
+  tmp.resize(v.size());
+  std::vector<int64_t> cnt(256);
+  for (int p = 0; p < passes; ++p) {
+    std::fill(cnt.begin(), cnt.end(), 0);
+    const int sh = 8 * p;
+    for (const Rec& r : v) ++cnt[(static_cast<uint64_t>(r.key) >> sh) & 255];
+    int64_t off = 0;
+    for (int b = 0; b < 256; ++b) { int64_t c = cnt[b]; cnt[b] = off; off += c; }
+    for (const Rec& r : v)
+      tmp[cnt[(static_cast<uint64_t>(r.key) >> sh) & 255]++] = r;
+    v.swap(tmp);
+  }
+}
 
-extern "C" int64_t wp_schedule_bm(
-    int64_t n,
-    const int32_t* sigma, const int32_t* lam, const int32_t* bank,
-    const int32_t* h, const int32_t* cls, const int32_t* cls2,
-    const int32_t* bank2,
-    int32_t R, int32_t S, int32_t CT, int32_t K,
-    const int64_t* order,            // lexsort((pos, h, bank, cls, sigma))
-    int64_t min_tile,                // early stop: placements/tile floor
-    int64_t* t_of, int64_t* s_of, int32_t* lane_of, int32_t* bsel_of,
-    uint8_t* choice_of,
-    int32_t* class_map, int64_t cap_tiles) {
-  const int32_t G = S / 128;
-  const int32_t Rp = R / 128;
-  std::vector<int64_t> store;
-  std::vector<BmItem> items;
-  std::vector<uint8_t> alive;
-  std::vector<std::vector<BmItem*>> pend((size_t)R * CT);
-  // per (stripe, row lane, class): pending nonzeros reachable via that
-  // class; rows_cnt counts rows with any (row-coverage class scoring)
-  std::vector<int32_t> cnt_rlc((size_t)R * 128 * CT, 0);
-  std::vector<int64_t> rows_cnt((size_t)R * CT, 0);
-
-  // build items from sorted runs of (sigma, cls, bank, h)
-  int64_t i = 0;
-  int64_t total = 0;
-  while (i < n) {
-    int64_t nz0 = order[i];
-    int32_t sg = sigma[nz0], c1 = cls[nz0], b1 = bank[nz0], hh = h[nz0];
-    BmItem it;
-    it.j1 = b1; it.j2 = bank2[nz0]; it.c1 = c1; it.c2 = cls2[nz0];
-    it.head = (int32_t)store.size();
-    int64_t j = i;
-    while (j < n) {
-      int64_t nz = order[j];
-      if (sigma[nz] != sg || cls[nz] != c1 || bank[nz] != b1 || h[nz] != hh)
-        break;
-      store.push_back(nz);
-      ++j;
+// Place every free row of `it` into the current wave.  Identical semantics
+// in the Python twins: scan from alive0, skip dead, skip used lanes (and
+// remember the first still-alive offset), place the rest.
+template <typename Out>
+inline int32_t place_rows(Item& it, bool lanes_used[128], Out&& out) {
+  int32_t placed = 0, first_alive = -1;
+  for (int32_t o = it.alive0; o < it.count; ++o) {
+    int32_t idx = it.head + o;
+    Rec& r = g.recs[idx];
+    if (!r.alive) continue;
+    int32_t lm = r.lam;
+    if (lanes_used[lm]) {
+      if (first_alive < 0) first_alive = o;
+      continue;
     }
-    it.count = (int32_t)store.size() - it.head;
-    // reverse so scanning from alive0 yields CSR order after the Python
-    // convention (Python reverses then pops from the back) — both read in
-    // original CSR order; here we simply scan forward over the run.
+    lanes_used[lm] = true;
+    r.alive = 0;
+    out(idx);
+    ++placed;
+  }
+  if (first_alive >= 0) it.alive0 = static_cast<uint16_t>(first_alive);
+  it.remaining = static_cast<uint16_t>(it.remaining - placed);
+  return placed;
+}
+
+// Relabel items into their list-visit order so wave walks stream
+// sequentially through memory instead of chasing the build order.
+// `lists` = every pending list (entries rewritten in place).
+void reorder_items(std::vector<std::vector<int32_t>*>& lists) {
+  static std::vector<int32_t> remap;
+  static std::vector<Item> items2;
+  const int32_t n = static_cast<int32_t>(g.items.size());
+  remap.assign(n, -1);
+  items2.clear();
+  items2.reserve(n);
+  for (auto* lst : lists) {
+    for (int32_t& id : *lst) {
+      if (remap[id] < 0) {
+        remap[id] = static_cast<int32_t>(items2.size());
+        items2.push_back(g.items[id]);
+      }
+      id = remap[id];
+    }
+  }
+  g.items.swap(items2);
+}
+
+// ---------------------------------------------------------------------------
+// Select-chain scheduler: per stripe, greedy per-wave matching visiting
+// pending items by descending row count (the offline analog of the
+// rotating-priority arbiter); an item uses its primary bank, or its
+// second-choice bank when the primary is taken.  Cursor walk with lazy
+// swap-removal of drained items and a fruitless-streak cap.
+// Twin: wavepack._schedule.
+// ---------------------------------------------------------------------------
+void schedule_chain_segment(int64_t lo, int64_t hi) {
+  static std::vector<int32_t> pend;
+  int64_t i = lo;
+  while (i < hi) {
+    const uint16_t st = g.recs[i].sigma;
+    int64_t e = i;
+    while (e < hi && g.recs[e].sigma == st) ++e;
+    // items: runs of (bank, a), split at 64K records (duplicate-heavy runs)
+    g.items.clear();
+    for (int64_t p = i; p < e;) {
+      const uint8_t b = g.recs[p].bank; const uint16_t a = g.recs[p].a;
+      Item it{};
+      it.head = static_cast<int32_t>(p);
+      const int64_t cap = p + 65535;
+      while (p < e && p < cap && g.recs[p].bank == b && g.recs[p].a == a) ++p;
+      it.count = static_cast<uint16_t>(p - it.head);
+      it.remaining = it.count;
+      it.alive0 = 0; it.stamp = -1;
+      it.b1 = b;
+      it.b2 = static_cast<uint8_t>(
+          g.two_choice ? (b + bank_shift(a >> 7)) % 128 : b);
+      g.items.push_back(it);
+    }
+    const int32_t n_items = static_cast<int32_t>(g.items.size());
+    pend.resize(n_items);
+    for (int32_t q = 0; q < n_items; ++q) pend[q] = q;
+    std::stable_sort(pend.begin(), pend.end(), [](int32_t x, int32_t y) {
+      return g.items[x].count > g.items[y].count; });
+    {
+      static std::vector<std::vector<int32_t>*> lists;
+      lists.assign(1, &pend);
+      reorder_items(lists);
+    }
+    const int32_t FCAP = fruitless_cap();
+    int64_t k = 0;
+    while (!pend.empty()) {
+      bool used_banks[128] = {false};
+      bool used_rows[128] = {false};
+      int32_t rows_used = 0, banks_used = 0, fruitless = 0;
+      size_t ii = 0;
+      while (ii < pend.size()) {
+        if (rows_used == 128 || banks_used == 128 || fruitless >= FCAP)
+          break;
+        Item& it = g.items[pend[ii]];
+        if (it.remaining == 0) {            // drained: swap-remove
+          pend[ii] = pend.back();
+          pend.pop_back();
+          continue;                          // revisit slot ii
+        }
+        int32_t lane; uint8_t ch;
+        if (!used_banks[it.b1]) { lane = it.b1; ch = 0; }
+        else if (!used_banks[it.b2]) { lane = it.b2; ch = 1; }
+        else { ++ii; ++fruitless; continue; }
+        const int32_t pl = place_rows(it, used_rows, [&](int32_t idx) {
+          SchedOut& so = g.out[idx];
+          so.t = static_cast<int32_t>(k);    // wave within stripe (for now)
+          so.lane = static_cast<uint8_t>(lane);
+          so.flags = static_cast<uint8_t>(1 | (ch << 1));
+        });
+        if (pl > 0) {
+          // INVARIANT (emission depends on this): marking the bank used
+          // pins this wave's gather lane to this item's one column, so
+          // duplicate gather-slot writes carry identical b|h fields and
+          // OR-ing them is write-order independent.
+          used_banks[lane] = true;
+          ++banks_used;
+          rows_used += pl;
+          fruitless = 0;
+        } else {
+          ++fruitless;
+        }
+        ++ii;
+      }
+      ++k;
+    }
+    i = e;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Block-major (class-group) scheduler: every 128-wave group serves K
+// x-block classes chosen by pending row coverage; per (stripe, class) the
+// pending items are walked by descending row count with a fruitless-streak
+// cap, placing via the primary bank or the cross-class second choice.
+// Twin: wavepack._schedule_block_major.
+// ---------------------------------------------------------------------------
+double bm_t_build = 0, bm_t_cover = 0, bm_t_pend = 0, bm_t_wave = 0;
+
+void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
+                         int64_t t_base, int64_t& tiles_out) {
+  const int32_t R = g.R, CT = g.CT, K = g.K, G = g.G, Rp = g.Rp, B = g.B;
+  double tb0 = now_s();
+  // items: runs of (sigma, cls, bank, h) == (sigma, bank, a) in the
+  // pre-sorted record order
+  g.items.clear();
+  for (int64_t p = lo; p < hi;) {
+    const uint16_t sg = g.recs[p].sigma;
+    const uint8_t b = g.recs[p].bank; const uint16_t a = g.recs[p].a;
+    Item it{};
+    it.head = static_cast<int32_t>(p);
+    const int64_t cap = p + 65535;
+    while (p < hi && p < cap && g.recs[p].sigma == sg && g.recs[p].bank == b
+           && g.recs[p].a == a) ++p;
+    it.count = static_cast<uint16_t>(p - it.head);
     it.remaining = it.count;
-    it.alive0 = 0;
-    it.stamp = -1;
-    items.push_back(it);
-    i = j;
+    it.alive0 = 0; it.stamp = -1;
+    it.b1 = b; it.c1 = static_cast<uint8_t>(a >> 7);
+    if (g.two_choice) {
+      it.c2 = static_cast<uint8_t>(B + a % B);
+      it.b2 = static_cast<uint8_t>((b + bank_shift(a % B)) % 128);
+    } else { it.c2 = it.c1; it.b2 = b; }
+    g.items.push_back(it);
   }
-  alive.assign(store.size(), 1);
-  for (auto& it : items) {
-    int32_t sg = sigma[store[it.head]];
-    pend[(size_t)sg * CT + it.c1].push_back(&it);
-    total += it.count;
-    for (int32_t o = 0; o < it.count; ++o) {
-      int32_t lm = lam[store[it.head + o]];
-      if (++cnt_rlc[((size_t)sg * 128 + lm) * CT + it.c1] == 1)
-        ++rows_cnt[(size_t)sg * CT + it.c1];
-      if (it.c2 != it.c1)
-        if (++cnt_rlc[((size_t)sg * 128 + lm) * CT + it.c2] == 1)
-          ++rows_cnt[(size_t)sg * CT + it.c2];
-    }
-    if (it.c2 != it.c1) {
-      pend[(size_t)sg * CT + it.c2].push_back(&it);
-    }
-  }
-  for (auto& lst : pend)
-    std::stable_sort(lst.begin(), lst.end(),
-                     [](const BmItem* x, const BmItem* y) {
-                       return x->remaining > y->remaining;
-                     });
+  const int32_t n_items = static_cast<int32_t>(g.items.size());
+  double tb1 = now_s(); bm_t_build += tb1 - tb0;
 
-  for (int64_t q = 0; q < n; ++q) t_of[q] = -1;
-  int64_t t = 0;
-  int64_t wave_id = 0;
-  int64_t scores[64];
-  int32_t top[8];
-  while (total > 0) {
-    if (t >= cap_tiles) return -(t + 64);   // ask caller to grow
+  // row-coverage counters for class scoring
+  g.cnt_rlc.assign(static_cast<size_t>(R) * 128 * CT, 0);
+  g.rows_cnt.assign(static_cast<size_t>(R) * CT, 0);
+  auto cover_inc = [&](int32_t sg, int32_t lm, int32_t c) {
+    if (++g.cnt_rlc[(static_cast<size_t>(sg) * 128 + lm) * CT + c] == 1)
+      ++g.rows_cnt[static_cast<size_t>(sg) * CT + c];
+  };
+  for (const Item& it : g.items) {
+    const int32_t sg = g.recs[it.head].sigma;
+    for (int32_t o = 0; o < it.count; ++o) {
+      const int32_t lm = g.recs[it.head + o].lam;
+      cover_inc(sg, lm, it.c1);
+      if (it.c2 != it.c1) cover_inc(sg, lm, it.c2);
+    }
+  }
+
+  double tb2 = now_s(); bm_t_cover += tb2 - tb1;
+  // pending lists per (stripe, class): item indices, desc count stable.
+  // An item appears under c1 and (two-choice) under c2.
+  if (g.pend.size() < static_cast<size_t>(R) * CT)
+    g.pend.resize(static_cast<size_t>(R) * CT);
+  for (size_t c = 0; c < static_cast<size_t>(R) * CT; ++c) g.pend[c].clear();
+  for (int32_t q = 0; q < n_items; ++q) {
+    const int32_t sg = g.recs[g.items[q].head].sigma;
+    g.pend[static_cast<size_t>(sg) * CT + g.items[q].c1].push_back(q);
+    if (g.items[q].c2 != g.items[q].c1)
+      g.pend[static_cast<size_t>(sg) * CT + g.items[q].c2].push_back(q);
+  }
+  for (size_t c = 0; c < static_cast<size_t>(R) * CT; ++c) {
+    std::stable_sort(g.pend[c].begin(), g.pend[c].end(),
+                     [](int32_t x, int32_t y) {
+                       return g.items[x].count > g.items[y].count; });
+  }
+  {
+    static std::vector<std::vector<int32_t>*> lists;
+    lists.clear();
+    for (size_t c = 0; c < static_cast<size_t>(R) * CT; ++c)
+      if (!g.pend[c].empty()) lists.push_back(&g.pend[c]);
+    reorder_items(lists);
+  }
+
+  double tb3 = now_s(); bm_t_pend += tb3 - tb2;
+  const int32_t FCAP = fruitless_cap();
+  int64_t remaining = hi - lo;
+  int64_t t_local = 0;
+  int32_t wave_id = 0;
+  std::vector<int64_t> scores(CT);
+  std::vector<int32_t> top(K);
+  while (remaining > 0) {
     int64_t placed_tile = 0;
-    for (int32_t g = 0; g < G; ++g) {
-      int32_t gmod = g % Rp;
+    for (int32_t grp = 0; grp < G; ++grp) {
+      const int32_t gmod = grp % Rp;
       for (int32_t c = 0; c < CT; ++c) {
         int64_t sc = 0;
-        for (int32_t u = 0; u < 128; ++u)
-          sc += rows_cnt[(size_t)(gmod * 128 + u) * CT + c];
+        const int64_t* rc = g.rows_cnt.data()
+                            + static_cast<size_t>(gmod) * 128 * CT + c;
+        for (int32_t u = 0; u < 128; ++u) sc += rc[static_cast<size_t>(u) * CT];
         scores[c] = sc;
       }
-      // stable top-K by score desc (ties: class id asc)
-      for (int32_t kk = 0; kk < K; ++kk) {
-        int32_t best = -1;
-        int64_t bestv = -1;
+      for (int32_t kk = 0; kk < K; ++kk) {     // stable top-K (ties: low c)
+        int32_t best = -1; int64_t bv = -1;
         for (int32_t c = 0; c < CT; ++c) {
           bool taken = false;
-          for (int32_t q = 0; q < kk; ++q) if (top[q] == c) taken = true;
-          if (taken) continue;
-          if (scores[c] > bestv) { bestv = scores[c]; best = c; }
+          for (int32_t q2 = 0; q2 < kk; ++q2) if (top[q2] == c) taken = true;
+          if (!taken && scores[c] > bv) { bv = scores[c]; best = c; }
         }
+        if (best < 0) best = 0;                // K > CT degenerate configs
         top[kk] = best;
-        class_map[((size_t)t * G + g) * K + kk] = best;
+        g.class_map.push_back(best);
       }
       if (scores[top[0]] == 0) continue;
       for (int32_t u = 0; u < 128; ++u) {
-        int32_t sg = gmod * 128 + u;
-        int64_t s_glob = (int64_t)g * 128 + u;
+        const int32_t sg = gmod * 128 + u;
+        const int64_t s_glob = static_cast<int64_t>(grp) * 128 + u;
         ++wave_id;
-        int32_t placed_rows = 0;
-        bool used_banks[128] = {false};
         bool used_rows[128] = {false};
-        int32_t banks_used = 0;
+        bool used_banks[128] = {false};
+        int32_t rows_used = 0, banks_used = 0;
         for (int32_t ci = 0; ci < K; ++ci) {
-          int32_t c = top[ci];
-          // cursor walk with lazy swap-removal of drained items; stops at
-          // bank/row exhaustion or a fruitless streak — O(visited) per
-          // wave instead of an O(list) rebuild (the rebuild went quadratic
-          // on hub-heavy graphs).  The initial descending-count order
-          // decays gradually, which measures within noise of the exact
-          // order on schedule fill.
-          auto& lst = pend[(size_t)sg * CT + c];
+          const int32_t c = top[ci];
+          auto& lst = g.pend[static_cast<size_t>(sg) * CT + c];
           size_t ii = 0;
           int32_t fruitless = 0;
           while (ii < lst.size()) {
-            if (placed_rows == 128 || banks_used == 128
-                || fruitless >= 128) break;
-            BmItem* it = lst[ii];
-            if (it->remaining == 0) {           // drained: swap-remove
+            if (rows_used == 128 || banks_used == 128 || fruitless >= FCAP)
+              break;
+            Item& it = g.items[lst[ii]];
+            if (it.remaining == 0) {           // drained: swap-remove
               lst[ii] = lst.back();
               lst.pop_back();
-              continue;                          // revisit slot ii
+              continue;                         // revisit slot ii
             }
-            if (it->stamp == wave_id) { ++ii; ++fruitless; continue; }
-            bool is_primary = (it->c1 == c);
-            int32_t lane = is_primary ? it->j1 : it->j2;
+            if (it.stamp == wave_id) { ++ii; ++fruitless; continue; }
+            const bool is_primary = (it.c1 == c);
+            const int32_t lane = is_primary ? it.b1 : it.b2;
             if (used_banks[lane]) { ++ii; ++fruitless; continue; }
-            int32_t placed = 0;
-            int32_t first_alive = -1;
-            for (int32_t o = it->alive0; o < it->count; ++o) {
-              if (!alive[it->head + o]) continue;
-              int64_t nz = store[it->head + o];
-              int32_t lm = lam[nz];
-              if (used_rows[lm]) {
-                if (first_alive < 0) first_alive = o;
-                continue;
-              }
-              used_rows[lm] = true;
-              alive[it->head + o] = 0;
-              t_of[nz] = t;
-              s_of[nz] = s_glob;
-              lane_of[nz] = lane;
-              bsel_of[nz] = ci;
-              choice_of[nz] = is_primary ? 0 : 1;
-              if (--cnt_rlc[((size_t)sg * 128 + lm) * CT + it->c1] == 0)
-                --rows_cnt[(size_t)sg * CT + it->c1];
-              if (it->c2 != it->c1) {
-                if (--cnt_rlc[((size_t)sg * 128 + lm) * CT + it->c2] == 0)
-                  --rows_cnt[(size_t)sg * CT + it->c2];
-              }
-              ++placed;
-            }
-            if (first_alive >= 0) it->alive0 = first_alive;
-            if (placed) {
-              // same wp_emit invariant as wp_schedule_segments: a used
-              // bank pins this wave's gather lane to one item's column,
-              // so duplicate emission writes carry identical fields
+            const int32_t c1 = it.c1, c2 = it.c2;
+            const int32_t pl = place_rows(it, used_rows, [&](int32_t idx) {
+              SchedOut& so = g.out[idx];
+              so.t = static_cast<int32_t>(t_base + t_local);
+              so.s = static_cast<int16_t>(s_glob);
+              so.lane = static_cast<uint8_t>(lane);
+              so.bsel = ci;
+              so.flags = static_cast<uint8_t>(is_primary ? 1 : 3);
+              const int32_t lm = g.recs[idx].lam;
+              const size_t rbase = (static_cast<size_t>(sg) * 128 + lm) * CT;
+              if (--g.cnt_rlc[rbase + c1] == 0)
+                --g.rows_cnt[static_cast<size_t>(sg) * CT + c1];
+              if (c2 != c1 && --g.cnt_rlc[rbase + c2] == 0)
+                --g.rows_cnt[static_cast<size_t>(sg) * CT + c2];
+            });
+            if (pl > 0) {
+              // same emission invariant as the chain path: a used bank
+              // pins this wave's gather lane to one item's column
               used_banks[lane] = true;
               ++banks_used;
-              placed_rows += placed;
-              placed_tile += placed;
-              it->remaining -= placed;
-              it->stamp = wave_id;
-              total -= placed;
+              rows_used += pl;
+              placed_tile += pl;
+              remaining -= pl;
+              it.stamp = wave_id;
               fruitless = 0;
             } else {
               ++fruitless;
@@ -385,15 +432,213 @@ extern "C" int64_t wp_schedule_bm(
         }
       }
     }
-    ++t;
+    ++t_local;
     if (min_tile > 0 && placed_tile < min_tile) break;
   }
-  if (t == 0) {
-    if (cap_tiles < 1) return -64;
-    for (int32_t g = 0; g < G; ++g)
-      for (int32_t kk = 0; kk < K; ++kk)
-        class_map[(size_t)g * K + kk] = 0;
-    t = 1;
+  bm_t_wave += now_s() - tb3;
+  tiles_out = t_local;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success; fills *out_T (total tiles) and *out_nleft
+// (unplaced nonzeros, nonzero only under min_tile early stop).
+int64_t wp_plan(
+    int64_t nnz, int64_t n_rows,
+    const int64_t* indptr, const int32_t* indices, const uint32_t* data_bits,
+    const int64_t* rank, const int64_t* col_rank,
+    int32_t n_blocks, int32_t n_parts, int32_t R, int32_t S, int32_t B,
+    int32_t two_choice, int32_t block_major, int32_t K,
+    int64_t min_tile, int64_t* out_T, int64_t* out_nleft);
+
+void wp_emit_full(
+    int32_t steal_mantissa, uint32_t pad_bits,
+    uint32_t* vals, int32_t* idxT,
+    int32_t* t_block, int32_t* t_part, int32_t* t_first, int32_t* t_last,
+    int32_t* class_map, int64_t* leftover);
+
+}  // extern "C"
+
+int64_t wp_plan(
+    int64_t nnz, int64_t n_rows,
+    const int64_t* indptr, const int32_t* indices, const uint32_t* data_bits,
+    const int64_t* rank, const int64_t* col_rank,
+    int32_t n_blocks, int32_t n_parts, int32_t R, int32_t S, int32_t B,
+    int32_t two_choice, int32_t block_major, int32_t K,
+    int64_t min_tile, int64_t* out_T, int64_t* out_nleft) {
+  g.R = R; g.S = S; g.B = B; g.K = K; g.G = S / 128; g.Rp = R / 128;
+  g.n_blocks = n_blocks; g.n_parts = n_parts;
+  g.two_choice = two_choice; g.block_major = block_major;
+  g.CT = block_major ? (two_choice ? 2 * B : B) : B;
+  g.nnz = nnz;
+  const int64_t VB = static_cast<int64_t>(B) * 128 * 128;
+  const int64_t amax = static_cast<int64_t>(B) * 128;
+
+  const double tp0 = now_s();
+  g.recs.resize(nnz);
+  int64_t maxkey = 0;
+  {
+    int64_t w = 0;
+    for (int64_t r = 0; r < n_rows; ++r) {
+      const int64_t rho = rank[r];
+      const int64_t blk = rho % n_blocks;
+      const int64_t rl = rho / n_blocks;
+      const int64_t sigma = rl % R, lam = rl / R;
+      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p, ++w) {
+        const int64_t col = col_rank ? col_rank[indices[p]] : indices[p];
+        const int64_t part = col / VB, cin = col % VB;
+        const int64_t bank = cin % 128, a = cin / 128;
+        const int64_t seg = blk * n_parts + part;
+        int64_t key;
+        if (block_major)
+          key = ((((seg * R + sigma) * B + (a >> 7)) * 128 + bank) << 7)
+                + (a & 127);
+        else
+          key = ((seg * R + sigma) * 128 + bank) * amax + a;
+        Rec& rec = g.recs[w];
+        rec.key = key;
+        rec.val = data_bits[p];
+        rec.nz = static_cast<int32_t>(p);
+        rec.sigma = static_cast<uint16_t>(sigma);
+        rec.a = static_cast<uint16_t>(a);
+        rec.lam = static_cast<uint8_t>(lam);
+        rec.bank = static_cast<uint8_t>(bank);
+        if (key > maxkey) maxkey = key;
+      }
+    }
   }
-  return t;
+  const double tp1 = now_s();
+  radix_sort(g.recs, g.tmp, maxkey);
+  const double tp2 = now_s();
+
+  // segment boundaries: key / seg_div changes
+  const int64_t seg_div = static_cast<int64_t>(R) * B * 128 * 128;
+  g.seg_bounds.clear(); g.seg_block.clear(); g.seg_part.clear();
+  int64_t prev_seg = -1;
+  for (int64_t i = 0; i < nnz; ++i) {
+    const int64_t seg = g.recs[i].key / seg_div;
+    if (seg != prev_seg) {
+      g.seg_bounds.push_back(i);
+      g.seg_block.push_back(static_cast<int32_t>(seg / n_parts));
+      g.seg_part.push_back(static_cast<int32_t>(seg % n_parts));
+      prev_seg = seg;
+    }
+  }
+  g.seg_bounds.push_back(nnz);
+  const int64_t n_segs = static_cast<int64_t>(g.seg_block.size());
+
+  g.out.assign(nnz, SchedOut{0, 0, 0, 0, 0});
+  for (Rec& r : g.recs) r.alive = 1;
+  g.class_map.clear();
+  g.seg_tiles.assign(n_segs, 0);
+
+  int64_t t_base = 0;
+  for (int64_t s = 0; s < n_segs; ++s) {
+    const int64_t lo = g.seg_bounds[s], hi = g.seg_bounds[s + 1];
+    if (block_major) {
+      int64_t tiles = 0;
+      schedule_bm_segment(lo, hi, min_tile, t_base, tiles);
+      g.seg_tiles[s] = tiles;
+      t_base += tiles;
+    } else {
+      schedule_chain_segment(lo, hi);
+      // waves -> tiles: w = sigma + k*R; tile = t_base + w/S, s = w%S
+      int64_t wmax = 0;
+      for (int64_t i = lo; i < hi; ++i) {
+        const int64_t w = g.recs[i].sigma
+                          + static_cast<int64_t>(g.out[i].t) * R;
+        if (w > wmax) wmax = w;
+        g.out[i].t = static_cast<int32_t>(t_base + w / S);
+        g.out[i].s = static_cast<int16_t>(w % S);
+      }
+      const int64_t tiles = wmax / S + 1;
+      g.seg_tiles[s] = tiles;
+      t_base += tiles;
+    }
+  }
+  g.T_total = t_base;
+  if (wp_prof()) {
+    fprintf(stderr, "wp_plan: build %.2fs sort %.2fs sched %.2fs"
+            " (bm: items %.2f cover %.2f pend %.2f wave %.2f)\n",
+            tp1 - tp0, tp2 - tp1, now_s() - tp2,
+            bm_t_build, bm_t_cover, bm_t_pend, bm_t_wave);
+    bm_t_build = bm_t_cover = bm_t_pend = bm_t_wave = 0;
+  }
+  int64_t nleft = 0;
+  if (block_major) {
+    for (int64_t i = 0; i < nnz; ++i) nleft += ((g.out[i].flags & 1) == 0);
+  }
+  g.n_left = nleft;
+  *out_T = g.T_total;
+  *out_nleft = nleft;
+  return 0;
+}
+
+void wp_emit_full(
+    int32_t steal_mantissa, uint32_t pad_bits,
+    uint32_t* vals, int32_t* idxT,
+    int32_t* t_block, int32_t* t_part, int32_t* t_first, int32_t* t_last,
+    int32_t* class_map, int64_t* leftover) {
+  const int32_t S = g.S, B = g.B;
+  const int64_t T = g.T_total;
+  const size_t tile_words = static_cast<size_t>(S) * 128;
+  for (size_t i = 0; i < static_cast<size_t>(T) * tile_words; ++i)
+    vals[i] = pad_bits;
+  std::memset(idxT, 0, static_cast<size_t>(T) * tile_words * 4);
+
+  int64_t nl = 0;
+  for (int64_t i = 0; i < g.nnz; ++i) {
+    const Rec& r = g.recs[i];
+    const SchedOut& so = g.out[i];
+    if (g.block_major && !(so.flags & 1)) {
+      if (leftover) leftover[nl] = r.nz;
+      ++nl;
+      continue;
+    }
+    const int32_t lane = so.lane;
+    const int32_t ch = (so.flags >> 1) & 1;
+    int32_t bf, ha;
+    if (g.block_major) {
+      bf = so.bsel;
+      ha = (g.two_choice && ch) ? (r.a / B) : (r.a & 127);
+    } else if (g.two_choice) {
+      bf = (r.a >> 7) + B * ch;
+      ha = r.a & 127;
+    } else {
+      bf = r.a >> 7;
+      ha = r.a & 127;
+    }
+    const int64_t t = so.t;
+    const int64_t s = so.s;
+    const int64_t grp = s >> 7, rr = s & 127;
+    const size_t base = static_cast<size_t>(t) * tile_words;
+    const size_t gbase = base + (static_cast<size_t>(grp) << 7) * 128;
+    idxT[gbase + static_cast<size_t>(lane) * 128 + rr] |= (bf << 7) | ha;
+    const int32_t lm = r.lam;
+    if (steal_mantissa) {
+      vals[base + static_cast<size_t>(s) * 128 + lm] =
+          (r.val & 0xFFFFFF80u) | static_cast<uint32_t>(lane);
+    } else {
+      idxT[gbase + static_cast<size_t>(lm) * 128 + rr] |= lane << 11;
+      vals[base + static_cast<size_t>(s) * 128 + lm] = r.val;
+    }
+  }
+  // tile metadata
+  int64_t t = 0;
+  for (size_t s = 0; s < g.seg_tiles.size(); ++s) {
+    for (int64_t q = 0; q < g.seg_tiles[s]; ++q, ++t) {
+      t_block[t] = g.seg_block[s];
+      t_part[t] = g.seg_part[s];
+    }
+  }
+  for (int64_t q = 0; q < T; ++q) {
+    t_first[q] = (q == 0 || t_block[q] != t_block[q - 1]) ? 1 : 0;
+    t_last[q] = (q == T - 1 || t_block[q + 1] != t_block[q]) ? 1 : 0;
+  }
+  if (class_map && g.block_major)
+    std::copy(g.class_map.begin(), g.class_map.end(), class_map);
+  // release the big record buffer (keep capacity elsewhere small)
+  std::vector<Rec>().swap(g.tmp);
 }

@@ -1,9 +1,12 @@
-"""ctypes loader for the C++ wavepack scheduler (_scheduler.cpp).
+"""ctypes loader for the fused C++ wavepack packer (_scheduler.cpp).
 
-The production analog of the reference's C++ preprocessor (sw/data_formatter.h)
-— Python stays the API layer, the sequential hot loop runs native.  Compiled
-on demand with g++ into the package directory; if no toolchain is available
-every caller falls back to the identical pure-Python implementation.
+The production analog of the reference's C++ preprocessor
+(sw/data_formatter.h:465-544) — Python stays the API layer; the whole
+per-nonzero pipeline (field computation, radix sort, wave scheduling,
+stream emission) runs native in one plan+emit pair.  Compiled on demand
+with g++ into the package directory; without a toolchain every caller
+falls back to the byte-identical pure-Python implementation in
+formats/wavepack.py.
 """
 from __future__ import annotations
 
@@ -21,6 +24,10 @@ _lock = threading.Lock()
 _lib = None
 _failed = False
 
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_u32p = ctypes.POINTER(ctypes.c_uint32)
+
 
 def _load():
     global _lib, _failed
@@ -36,28 +43,18 @@ def _load():
                     ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
                     check=True, capture_output=True)
             lib = ctypes.CDLL(_SO)
-            lib.wp_schedule_segments.argtypes = [
-                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
-                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_int64),
-                ctypes.POINTER(ctypes.c_uint8)]
-            lib.wp_schedule_segments.restype = None
-            i32p = ctypes.POINTER(ctypes.c_int32)
-            i64p = ctypes.POINTER(ctypes.c_int64)
-            lib.wp_schedule_bm.argtypes = [
-                ctypes.c_int64, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+            lib.wp_plan.argtypes = [
+                ctypes.c_int64, ctypes.c_int64,
+                _i64p, _i32p, _u32p, _i64p, _i64p,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-                ctypes.c_int32, i64p, ctypes.c_int64,
-                i64p, i64p, i32p, i32p,
-                ctypes.POINTER(ctypes.c_uint8), i32p, ctypes.c_int64]
-            lib.wp_schedule_bm.restype = ctypes.c_int64
-            u32p = ctypes.POINTER(ctypes.c_uint32)
-            lib.wp_emit.argtypes = [
-                ctypes.c_int64, i64p, i64p, i32p, i32p, i32p, i32p, u32p,
-                ctypes.c_int32, ctypes.c_int32, u32p, i32p]
-            lib.wp_emit.restype = None
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int64, _i64p, _i64p]
+            lib.wp_plan.restype = ctypes.c_int64
+            lib.wp_emit_full.argtypes = [
+                ctypes.c_int32, ctypes.c_uint32,
+                _u32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i64p]
+            lib.wp_emit_full.restype = None
             _lib = lib
         except Exception:
             _failed = True
@@ -68,95 +65,70 @@ def available() -> bool:
     return _load() is not None
 
 
-def schedule_segments(seg_bounds: np.ndarray, stripe: np.ndarray,
-                      lam: np.ndarray, bank: np.ndarray,
-                      addr: np.ndarray, bank2: np.ndarray):
+def _ptr(a, ptype):
+    return a.ctypes.data_as(ptype)
+
+
+def pack_full(indptr, indices, data, rank, col_rank, cfg,
+              n_blocks: int, n_parts: int, min_tile: int = 0):
+    """Run the fused native pack.  Returns a dict of output arrays
+    (vals, idxT, tile metadata, class_map, leftover) or None if the
+    native library is unavailable.
+
+    ``rank`` maps each (post-split) row to its renamed id; ``col_rank``
+    maps original to packed column ids (or None).  Output is byte-equal
+    to the pure-Python pack() path (asserted in tests/test_formats.py).
+    """
     lib = _load()
-    assert lib is not None
-    n = stripe.size
-    k_of = np.empty(n, np.int64)
-    choice = np.zeros(n, np.uint8)
-    seg_bounds = np.ascontiguousarray(seg_bounds, np.int64)
-    args = [np.ascontiguousarray(a, np.int32)
-            for a in (stripe, lam, bank, addr, bank2)]
-    lib.wp_schedule_segments(
-        ctypes.c_int64(seg_bounds.size - 1),
-        seg_bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        args[0].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        args[1].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        args[2].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        args[3].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        args[4].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        k_of.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        choice.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-    return k_of, choice
-
-
-def emit(T_total: int, S: int, t_glob, s_loc, lane_used, lam, bfield,
-         ha_field, vals_sorted, steal_mantissa: bool, pad_val):
-    """One-pass stream emission: scatter values to dest slots and index
-    fields to their transposed positions.  Returns (vals, idxT), byte-equal
-    to the numpy fallback in wavepack.pack()."""
-    lib = _load()
-    assert lib is not None
-    n = t_glob.size
-    vals = np.full((T_total, S, 128), pad_val, vals_sorted.dtype)
-    idxT = np.zeros((T_total, S, 128), np.int32)
-    i32p = ctypes.POINTER(ctypes.c_int32)
-    i64p = ctypes.POINTER(ctypes.c_int64)
-    u32p = ctypes.POINTER(ctypes.c_uint32)
-    t_glob = np.ascontiguousarray(t_glob, np.int64)
-    s_loc = np.ascontiguousarray(s_loc, np.int64)
-    ints = [np.ascontiguousarray(a, np.int32)
-            for a in (lane_used, lam, bfield, ha_field)]
-    vbits = np.ascontiguousarray(vals_sorted).view(np.uint32)
-    lib.wp_emit(ctypes.c_int64(n),
-                t_glob.ctypes.data_as(i64p), s_loc.ctypes.data_as(i64p),
-                *[a.ctypes.data_as(i32p) for a in ints],
-                vbits.ctypes.data_as(u32p),
-                ctypes.c_int32(int(steal_mantissa)), ctypes.c_int32(S),
-                vals.view(np.uint32).ctypes.data_as(u32p),
-                idxT.ctypes.data_as(i32p))
-    return vals, idxT
-
-
-def schedule_bm(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT, K,
-                stop_frac=0.0):
-    """Block-major scheduler; returns
-    (t_of, s_of, lane_of, bsel_of, choice_of, class_map)."""
-    lib = _load()
-    assert lib is not None
-    n = sigma.size
-    args = [np.ascontiguousarray(a, np.int32)
-            for a in (sigma, lam, bank, h, cls, cls2, bank2)]
-    # composite-key stable argsort == lexsort((pos, h, bank, cls, sigma))
-    key = (((sigma.astype(np.int64) * (int(cls.max()) + 1 if n else 1)
-             + cls) * 128 + bank) * 128 + h)
-    order = np.ascontiguousarray(np.argsort(key, kind="stable"), np.int64)
-    t_of = np.full(n, -1, np.int64)
-    s_of = np.zeros(n, np.int64)
-    lane_of = np.zeros(n, np.int32)
-    bsel_of = np.zeros(n, np.int32)
-    choice_of = np.zeros(n, np.uint8)
-    G = S // 128
-    cap = max(64, int(n * 8 // (S * 128)) + 64)
-    i32p = ctypes.POINTER(ctypes.c_int32)
-    i64p = ctypes.POINTER(ctypes.c_int64)
-    while True:
-        cm = np.zeros(cap * G * K, np.int32)
-        rc = lib.wp_schedule_bm(
-            ctypes.c_int64(n),
-            *[a.ctypes.data_as(i32p) for a in args],
-            ctypes.c_int32(R), ctypes.c_int32(S), ctypes.c_int32(CT),
-            ctypes.c_int32(K),
-            order.ctypes.data_as(i64p),
-            ctypes.c_int64(int(stop_frac * S * 128)),
-            t_of.ctypes.data_as(i64p), s_of.ctypes.data_as(i64p),
-            lane_of.ctypes.data_as(i32p), bsel_of.ctypes.data_as(i32p),
-            choice_of.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            cm.ctypes.data_as(i32p), ctypes.c_int64(cap))
-        if rc >= 0:
-            T = int(rc)
-            return (t_of, s_of, lane_of, bsel_of, choice_of,
-                    cm[:T * G * K].reshape(T, G, K))
-        cap = int(-rc) * 2
+    if lib is None:
+        return None
+    nnz = int(indptr[-1])
+    n_rows = indptr.shape[0] - 1
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    data_bits = np.ascontiguousarray(data).view(np.uint32)
+    rank = np.ascontiguousarray(rank, np.int64)
+    if col_rank is not None:
+        col_rank = np.ascontiguousarray(col_rank, np.int64)
+    T = ctypes.c_int64(0)
+    nleft = ctypes.c_int64(0)
+    rc = lib.wp_plan(
+        ctypes.c_int64(nnz), ctypes.c_int64(n_rows),
+        _ptr(indptr, _i64p), _ptr(indices, _i32p), _ptr(data_bits, _u32p),
+        _ptr(rank, _i64p),
+        _ptr(col_rank, _i64p) if col_rank is not None else None,
+        ctypes.c_int32(n_blocks), ctypes.c_int32(n_parts),
+        ctypes.c_int32(cfg.stripes), ctypes.c_int32(cfg.sublanes),
+        ctypes.c_int32(cfg.bank_blocks),
+        ctypes.c_int32(int(cfg.two_choice)),
+        ctypes.c_int32(int(cfg.block_major)),
+        ctypes.c_int32(cfg.classes_per_group),
+        ctypes.c_int64(min_tile),
+        ctypes.byref(T), ctypes.byref(nleft))
+    if rc != 0:
+        return None
+    T, nleft = int(T.value), int(nleft.value)
+    S, G, K = cfg.sublanes, cfg.groups, cfg.classes_per_group
+    val_dtype = data.dtype if cfg.dtype == "fixed" else np.float32
+    vals = np.empty((T, S, 128), val_dtype)
+    idxT = np.empty((T, S, 128), np.int32)
+    t_block = np.empty(T, np.int32)
+    t_part = np.empty(T, np.int32)
+    t_first = np.empty(T, np.int32)
+    t_last = np.empty(T, np.int32)
+    cmap = (np.empty((T, G, K), np.int32) if cfg.block_major else None)
+    leftover = np.empty(nleft, np.int64)
+    pad = (np.float32(np.inf) if cfg.semiring == "min_plus"
+           else val_dtype.type(0) if hasattr(val_dtype, "type")
+           else np.float32(0))
+    pad_bits = int(np.asarray(pad).view(np.uint32))
+    lib.wp_emit_full(
+        ctypes.c_int32(int(cfg.steal_mantissa)), ctypes.c_uint32(pad_bits),
+        _ptr(vals.view(np.uint32), _u32p), _ptr(idxT, _i32p),
+        _ptr(t_block, _i32p), _ptr(t_part, _i32p),
+        _ptr(t_first, _i32p), _ptr(t_last, _i32p),
+        _ptr(cmap, _i32p) if cmap is not None else None,
+        _ptr(leftover, _i64p) if nleft else None)
+    return dict(vals=vals, idxT=idxT, tile_block=t_block, tile_part=t_part,
+                tile_first=t_first, tile_last=t_last, class_map=cmap,
+                leftover=leftover, nnz=nnz - nleft)

@@ -133,15 +133,12 @@ class Wavepack:
 def _schedule_segments(seg_bounds: np.ndarray, stripe: np.ndarray,
                        lam: np.ndarray, bank: np.ndarray,
                        addr: np.ndarray, bank2: np.ndarray | None):
-    """Schedule every (block, part) segment; native C++ when available.
+    """Schedule every (block, part) segment (pure-Python twin of the fused
+    native pipeline; pack() calls native.pack_full at dataset scale).
     Returns (k_of, choice) where choice[i]=1 means the nonzero's gather slot
     uses its second-choice bank."""
-    from . import native
     if bank2 is None:
         bank2 = bank
-    if native.available():
-        return native.schedule_segments(seg_bounds, stripe, lam, bank, addr,
-                                        bank2)
     k_of = np.empty(stripe.size, np.int64)
     choice = np.zeros(stripe.size, np.uint8)
     for i in range(seg_bounds.size - 1):
@@ -199,7 +196,7 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
             used_rows = bytearray(LANES)
             rows_used = banks_used = 0
             # cursor walk with lazy swap-removal (C++ twin:
-            # _scheduler.cpp::wp_schedule_segments); stops at bank/row
+            # _scheduler.cpp::schedule_chain_segment); stops at bank/row
             # exhaustion — O(visited) per wave, no list rebuild
             ii = 0
             fruitless = 0
@@ -309,30 +306,16 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     rank[perm] = np.arange(n_blocks * RPB)
 
     nnz_total = m.nnz
-    row_of_nz = np.repeat(np.arange(m.num_rows), np.diff(m.indptr))
-    rho_all = rank[row_of_nz]                       # renamed row per nonzero
     if col_order is not None:
         col_rank = np.empty(m.num_cols, np.int64)
         col_rank[col_order] = np.arange(m.num_cols)
-        col_all = col_rank[m.indices]
     else:
-        col_all = m.indices.astype(np.int64)
-    part_all = (col_all // VB).astype(np.int32)
-    c_in = col_all % VB
-    bank_all = (c_in % LANES).astype(np.int32)      # gather lane j
-    a_all = (c_in // LANES).astype(np.int32)        # in-bank address
-    # rows dealt round-robin across blocks as well, so every block sees the
-    # same nnz mix (the reference's cyclic channel assignment,
-    # data_formatter.h:410, for the same reason)
-    blk_of_nz = (rho_all % n_blocks).astype(np.int32)
-    rho_loc = rho_all // n_blocks
-    # round-robin stripe deal: consecutive (nnz-sorted) renamed rows go to
-    # different stripes, balancing per-stripe wave demand
-    sigma_all = (rho_loc % R).astype(np.int32)
-    lam_all = (rho_loc // R).astype(np.int32)
+        col_rank = None
     val_dtype = m.data.dtype if cfg.dtype == "fixed" else np.float32
     G = cfg.groups
+    class_map = None
 
+    from . import native
     if nnz_total == 0:
         pad0 = np.inf if cfg.semiring == "min_plus" else 0
         vals = np.full((1, S, LANES), pad0, val_dtype)
@@ -341,13 +324,52 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
         t_part_arr = np.zeros(1, np.int32)
         first = np.ones(1, np.int32)
         last = np.ones(1, np.int32)
+    elif native.available() and (res := native.pack_full(
+            m.indptr, m.indices, np.ascontiguousarray(m.data, val_dtype),
+            rank, col_rank, cfg, n_blocks, n_parts,
+            min_tile=int(_stop_frac * S * LANES))) is not None:
+        # fused native pipeline (the production path; the branch below is
+        # its byte-identical pure-Python twin)
+        vals, idxT = res["vals"], res["idxT"]
+        t_block_arr, t_part_arr = res["tile_block"], res["tile_part"]
+        first, last = res["tile_first"], res["tile_last"]
+        class_map = res["class_map"]
+        if _leftover_out is not None:
+            _leftover_out["nz"] = res["leftover"]
+        nnz_total = res["nnz"]
     else:
-        # one global sort: (block, part, stripe, bank, addr, csr position) —
-        # a single stable argsort on a composite key (equivalent to the
-        # lexsort it replaces; ties keep CSR order by stability)
-        amax = int(a_all.max()) + 1 if nnz_total else 1
-        key = ((((blk_of_nz.astype(np.int64) * n_parts + part_all) * R
-                 + sigma_all) * LANES + bank_all) * amax + a_all)
+        row_of_nz = np.repeat(np.arange(m.num_rows), np.diff(m.indptr))
+        rho_all = rank[row_of_nz]                   # renamed row per nonzero
+        if col_rank is not None:
+            col_all = col_rank[m.indices]
+        else:
+            col_all = m.indices.astype(np.int64)
+        part_all = (col_all // VB).astype(np.int32)
+        c_in = col_all % VB
+        bank_all = (c_in % LANES).astype(np.int32)  # gather lane j
+        a_all = (c_in // LANES).astype(np.int32)    # in-bank address
+        # rows dealt round-robin across blocks as well, so every block sees
+        # the same nnz mix (the reference's cyclic channel assignment,
+        # data_formatter.h:410, for the same reason)
+        blk_of_nz = (rho_all % n_blocks).astype(np.int32)
+        rho_loc = rho_all // n_blocks
+        # round-robin stripe deal: consecutive (nnz-sorted) renamed rows go
+        # to different stripes, balancing per-stripe wave demand
+        sigma_all = (rho_loc % R).astype(np.int32)
+        lam_all = (rho_loc // R).astype(np.int32)
+        # one global sort — stable, so ties keep CSR order.  The block-major
+        # path sorts by (block, part, stripe, class, bank, h) so segment
+        # slices arrive in the scheduler's span order; the select-chain path
+        # by (block, part, stripe, bank, addr).  Must match the native
+        # pipeline's keys exactly (_scheduler.cpp::wp_plan).
+        amax = B * 128
+        seg_all = blk_of_nz.astype(np.int64) * n_parts + part_all
+        if cfg.block_major:
+            key = ((((seg_all * R + sigma_all) * B + a_all // 128) * LANES
+                    + bank_all) * 128 + a_all % 128)
+        else:
+            key = (((seg_all * R + sigma_all) * LANES + bank_all) * amax
+                   + a_all)
         order = np.argsort(key, kind="stable")
         bo, po = blk_of_nz[order], part_all[order]
         so, lo = sigma_all[order], lam_all[order]
@@ -366,7 +388,6 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
         else:
             b2o = None
         n_segs = seg_starts.size
-        class_map = None
         if cfg.block_major:
             CT = cfg.total_blocks
             cls_o = (ao // 128).astype(np.int32)
@@ -391,14 +412,10 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
             seg_tiles = np.empty(n_segs, np.int64)
             off = 0
             K = cfg.classes_per_group
-            from . import native
-            use_native = native.available()
             for i in range(n_segs):
                 a0, a1 = int(seg_bounds[i]), int(seg_bounds[i + 1])
                 sl = slice(a0, a1)
-                sched = (native.schedule_bm if use_native
-                         else _schedule_block_major)
-                res = sched(
+                res = _schedule_block_major(
                     so[sl], lo[sl], jo[sl], (ao[sl] % 128).astype(np.int32),
                     cls_o[sl], cls2_o[sl], b2x[sl], R, S, CT, K,
                     stop_frac=_stop_frac)
@@ -463,32 +480,23 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
             lane_used = jo
             bfield = (ao // 128).astype(np.int32)
             ha_field = (ao % 128).astype(np.int32)
-        from . import native
-        if native.available():
-            # one-pass C++ emission writing idxT directly in its transposed
-            # layout (the production path; the numpy branch below is its
-            # byte-identical reference twin)
-            vals, idxT = native.emit(T_total, S, t_glob, s_loc, lane_used,
-                                     lo, bfield, ha_field, vals_sorted,
-                                     cfg.steal_mantissa, pad_val)
+        va = np.full((T_total, S, LANES), pad_val, val_dtype)
+        packed = np.zeros((T_total, S, LANES), np.int32)
+        # gather-role fields at (t, s, gather lane); dest-role at
+        # (t, s, row lane)
+        packed[t_glob, s_loc, lane_used] |= (bfield << 7) | ha_field
+        if cfg.steal_mantissa:
+            # src lane rides in the 7 low mantissa bits of the value
+            vbits = vals_sorted.view(np.uint32)
+            va[t_glob, s_loc, lo] = ((vbits & np.uint32(0xFFFFFF80))
+                                     | lane_used.astype(np.uint32)
+                                     ).view(np.float32)
         else:
-            va = np.full((T_total, S, LANES), pad_val, val_dtype)
-            packed = np.zeros((T_total, S, LANES), np.int32)
-            # gather-role fields at (t, s, gather lane); dest-role at
-            # (t, s, row lane)
-            packed[t_glob, s_loc, lane_used] |= (bfield << 7) | ha_field
-            if cfg.steal_mantissa:
-                # src lane rides in the 7 low mantissa bits of the value
-                vbits = vals_sorted.view(np.uint32)
-                va[t_glob, s_loc, lo] = ((vbits & np.uint32(0xFFFFFF80))
-                                         | lane_used.astype(np.uint32)
-                                         ).view(np.float32)
-            else:
-                packed[t_glob, s_loc, lo] |= lane_used << 11
-                va[t_glob, s_loc, lo] = vals_sorted
-            idxT = (packed.reshape(T_total, G, 128, 128)
-                    .swapaxes(2, 3).reshape(T_total, S, LANES).copy())
-            vals = va
+            packed[t_glob, s_loc, lo] |= lane_used << 11
+            va[t_glob, s_loc, lo] = vals_sorted
+        idxT = (packed.reshape(T_total, G, 128, 128)
+                .swapaxes(2, 3).reshape(T_total, S, LANES).copy())
+        vals = va
 
         t_block_arr = np.repeat(seg_block, seg_tiles).astype(np.int32)
         t_part_arr = np.repeat(seg_part, seg_tiles).astype(np.int32)
@@ -729,7 +737,7 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
                     c = int(top[ci])
                     # cursor walk with lazy swap-removal of drained items
                     # and a fruitless-streak cap (C++ twin in
-                    # _scheduler.cpp::wp_schedule_bm) — O(visited) per
+                    # _scheduler.cpp::schedule_bm_segment) — O(visited) per
                     # wave, no list rebuild
                     lst = pend.get((sg, c), ())
                     ii = 0

@@ -152,37 +152,35 @@ def test_block_structured_generator():
 
 
 def test_native_matches_python_scheduler():
-    from hisparse_tpu.formats import native, wavepack
+    """The fused native pack pipeline (_scheduler.cpp: field build, radix
+    sort, wave scheduling, emission, tile metadata) is byte-identical to
+    the pure-Python twin, across multi-block/multi-part geometry, split
+    rows and column ordering."""
+    from hisparse_tpu.formats import native
     if not native.available():
         import pytest
         pytest.skip("no native toolchain")
-    rng = np.random.default_rng(3)
-    n = 5000
-    stripe = np.sort(rng.integers(0, 4, n)).astype(np.int32)
-    lam = rng.integers(0, 128, n).astype(np.int32)
-    bank = rng.integers(0, 128, n).astype(np.int32)
-    addr = rng.integers(0, 128, n).astype(np.int32)
-    order = np.lexsort((np.arange(n), addr, bank, stripe))
-    stripe, lam, bank, addr = (stripe[order], lam[order], bank[order],
-                               addr[order])
-    bank2 = ((bank + 31) % 128).astype(np.int32)
-    seg_bounds = np.array([0, n // 2, n], np.int64)
-    kn, cn = native.schedule_segments(seg_bounds, stripe, lam, bank, addr,
-                                      bank2)
-    kp = np.empty(n, np.int64)
-    cp = np.zeros(n, np.uint8)
-    for i in range(2):
-        s, e = int(seg_bounds[i]), int(seg_bounds[i + 1])
-        kp[s:e], cp[s:e] = wavepack._schedule(stripe[s:e], lam[s:e],
-                                              bank[s:e], addr[s:e],
-                                              bank2[s:e])
-    assert np.array_equal(kn, kp)
-    assert np.array_equal(cn, cp)
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128)
+    m = powerlaw_csr(num_rows=cfg.rows_per_block + 777,
+                     num_cols=cfg.vb_cols + 3000,
+                     avg_nnz_per_row=6, seed=3)
+    wp_n = pack(m, cfg, split_max=16, col_order="degree")
+    orig_avail = native.available
+    native.available = lambda: False
+    try:
+        wp_p = pack(m, cfg, split_max=16, col_order="degree")
+    finally:
+        native.available = orig_avail
+    assert wp_n.vals.tobytes() == wp_p.vals.tobytes()
+    assert wp_n.idxT.tobytes() == wp_p.idxT.tobytes()
+    assert np.array_equal(wp_n.perm, wp_p.perm)
+    for f in ("tile_block", "tile_part", "tile_first", "tile_last"):
+        assert np.array_equal(getattr(wp_n, f), getattr(wp_p, f)), f
 
 
 def test_native_emission_matches_numpy():
-    """The C++ one-pass emission (native.emit) is byte-identical to the
-    numpy scatter+transpose fallback, across steal_mantissa / block_major /
+    """The fused native emission is byte-identical to the numpy
+    scatter+transpose fallback, across steal_mantissa / block_major /
     fixed / min_plus configs."""
     from hisparse_tpu.formats import native
     if not native.available():
