@@ -154,7 +154,14 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
         co = col_order
         from hisparse_tpu.models.perf_model import estimate
         base = max(8, 1 << int(round(np.log2(max(avg, 1.0)))))
+        # large B shrinks the column-partition count (B=32 -> one partition
+        # up to 4.2M cols), collapsing the per-segment tile tail that
+        # dominates spread-column graphs; measured on-chip at full slot
+        # rate (38 Gslot/s, round 3)
         cands = [
+            (SpmvConfig(sublanes=512, bank_blocks=32, stripes=512,
+                        two_choice=False, block_major=True,
+                        classes_per_group=4, steal_mantissa=True), base),
             (SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
                         two_choice=False, block_major=True,
                         classes_per_group=4, steal_mantissa=True), base),

@@ -98,8 +98,17 @@ class SpmvConfig:
             raise ValueError(f"sublanes must be a multiple of {LANES}")
         if self.sublanes % self.stripes != 0:
             raise ValueError("stripes must divide sublanes")
-        if self.bank_blocks < 1 or self.bank_blocks > 16:
-            raise ValueError("bank_blocks must be in [1, 16]")
+        # the select-chain path stores the block id in the idx word's 4-bit
+        # b-field, capping B at 16 (8 with the two-choice bit); block-major
+        # stores only the local class index (< classes_per_group), so B can
+        # grow until the resident x tile hits VMEM — large B shrinks the
+        # column-partition count, which collapses the per-segment tile tail
+        # on spread-column graphs (the pokec regime)
+        cap = 64 if self.block_major else 16
+        if self.bank_blocks < 1 or self.bank_blocks > cap:
+            raise ValueError(f"bank_blocks must be in [1, {cap}]"
+                             + ("" if self.block_major
+                                else " (4-bit block field)"))
         if (self.two_choice and self.bank_blocks > 8
                 and not self.block_major):
             raise ValueError("two_choice needs bank_blocks <= 8 "

@@ -112,8 +112,42 @@ struct PlanState {
   std::vector<std::vector<int32_t>> pend;    // bm: per (stripe, class)
   std::vector<int32_t> cnt_rlc;              // (R,128,CT) bm row coverage
   std::vector<int64_t> rows_cnt;             // (R,CT)
+  int64_t opt_waves;                         // edge-coloring lower bound
 };
 PlanState g;
+
+// Exact per-segment schedule lower bound: for every stripe,
+// max(max per-lane record count, max per-bank distinct-column count) —
+// the bipartite edge-coloring bound the analytical model's alpha measures
+// against (the reference instruments its csim the same way,
+// performance_model/include/shuffle.h:199,279).  Summed over stripes.
+int64_t segment_opt_waves(int64_t lo, int64_t hi) {
+  static std::vector<int32_t> lane_cnt, bank_cnt;
+  lane_cnt.assign(static_cast<size_t>(g.R) * 128, 0);
+  bank_cnt.assign(static_cast<size_t>(g.R) * 128, 0);
+  for (int64_t p = lo; p < hi;) {           // items: runs of (sigma,bank,a)
+    const uint16_t sg = g.recs[p].sigma;
+    const uint8_t b = g.recs[p].bank; const uint16_t a = g.recs[p].a;
+    ++bank_cnt[static_cast<size_t>(sg) * 128 + b];
+    while (p < hi && g.recs[p].sigma == sg && g.recs[p].bank == b
+           && g.recs[p].a == a) {
+      ++lane_cnt[static_cast<size_t>(sg) * 128 + g.recs[p].lam];
+      ++p;
+    }
+  }
+  int64_t opt = 0;
+  for (int32_t sg = 0; sg < g.R; ++sg) {
+    int32_t mx = 0;
+    const int32_t* lc = lane_cnt.data() + static_cast<size_t>(sg) * 128;
+    const int32_t* bc = bank_cnt.data() + static_cast<size_t>(sg) * 128;
+    for (int32_t q = 0; q < 128; ++q) {
+      if (lc[q] > mx) mx = lc[q];
+      if (bc[q] > mx) mx = bc[q];
+    }
+    opt += mx;
+  }
+  return opt;
+}
 
 void radix_sort(std::vector<Rec>& v, std::vector<Rec>& tmp, int64_t maxkey) {
   int passes = 1;
@@ -451,7 +485,8 @@ int64_t wp_plan(
     const int64_t* rank, const int64_t* col_rank,
     int32_t n_blocks, int32_t n_parts, int32_t R, int32_t S, int32_t B,
     int32_t two_choice, int32_t block_major, int32_t K,
-    int64_t min_tile, int64_t* out_T, int64_t* out_nleft);
+    int64_t min_tile, int64_t* out_T, int64_t* out_nleft,
+    int64_t* out_opt_waves);
 
 void wp_emit_full(
     int32_t steal_mantissa, uint32_t pad_bits,
@@ -467,7 +502,8 @@ int64_t wp_plan(
     const int64_t* rank, const int64_t* col_rank,
     int32_t n_blocks, int32_t n_parts, int32_t R, int32_t S, int32_t B,
     int32_t two_choice, int32_t block_major, int32_t K,
-    int64_t min_tile, int64_t* out_T, int64_t* out_nleft) {
+    int64_t min_tile, int64_t* out_T, int64_t* out_nleft,
+    int64_t* out_opt_waves) {
   g.R = R; g.S = S; g.B = B; g.K = K; g.G = S / 128; g.Rp = R / 128;
   g.n_blocks = n_blocks; g.n_parts = n_parts;
   g.two_choice = two_choice; g.block_major = block_major;
@@ -535,8 +571,10 @@ int64_t wp_plan(
   g.seg_tiles.assign(n_segs, 0);
 
   int64_t t_base = 0;
+  g.opt_waves = 0;
   for (int64_t s = 0; s < n_segs; ++s) {
     const int64_t lo = g.seg_bounds[s], hi = g.seg_bounds[s + 1];
+    g.opt_waves += segment_opt_waves(lo, hi);
     if (block_major) {
       int64_t tiles = 0;
       schedule_bm_segment(lo, hi, min_tile, t_base, tiles);
@@ -573,6 +611,7 @@ int64_t wp_plan(
   g.n_left = nleft;
   *out_T = g.T_total;
   *out_nleft = nleft;
+  *out_opt_waves = g.opt_waves;
   return 0;
 }
 

@@ -49,7 +49,7 @@ def _load():
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32,
-                ctypes.c_int64, _i64p, _i64p]
+                ctypes.c_int64, _i64p, _i64p, _i64p]
             lib.wp_plan.restype = ctypes.c_int64
             lib.wp_emit_full.argtypes = [
                 ctypes.c_int32, ctypes.c_uint32,
@@ -92,6 +92,7 @@ def pack_full(indptr, indices, data, rank, col_rank, cfg,
         col_rank = np.ascontiguousarray(col_rank, np.int64)
     T = ctypes.c_int64(0)
     nleft = ctypes.c_int64(0)
+    opt_waves = ctypes.c_int64(0)
     rc = lib.wp_plan(
         ctypes.c_int64(nnz), ctypes.c_int64(n_rows),
         _ptr(indptr, _i64p), _ptr(indices, _i32p), _ptr(data_bits, _u32p),
@@ -104,7 +105,7 @@ def pack_full(indptr, indices, data, rank, col_rank, cfg,
         ctypes.c_int32(int(cfg.block_major)),
         ctypes.c_int32(cfg.classes_per_group),
         ctypes.c_int64(min_tile),
-        ctypes.byref(T), ctypes.byref(nleft))
+        ctypes.byref(T), ctypes.byref(nleft), ctypes.byref(opt_waves))
     if rc != 0:
         return None
     T, nleft = int(T.value), int(nleft.value)
@@ -131,4 +132,5 @@ def pack_full(indptr, indices, data, rank, col_rank, cfg,
         _ptr(leftover, _i64p) if nleft else None)
     return dict(vals=vals, idxT=idxT, tile_block=t_block, tile_part=t_part,
                 tile_first=t_first, tile_last=t_last, class_map=cmap,
-                leftover=leftover, nnz=nnz - nleft)
+                leftover=leftover, nnz=nnz - nleft,
+                opt_waves=int(opt_waves.value))

@@ -90,10 +90,25 @@ class Wavepack:
     nnz: int
     col_order: np.ndarray | None = None   # new col i = original col_order[i]
     class_map: np.ndarray | None = None   # (T, S//128, K) int32, block-major
+    opt_waves: int = 0         # edge-coloring schedule lower bound (waves)
 
     @property
     def num_tiles(self) -> int:
         return self.vals.shape[0]
+
+    @property
+    def alpha(self) -> float:
+        """Measured schedule efficiency: optimum waves / scheduled waves.
+
+        The optimum is the exact per-(segment, stripe) bipartite
+        edge-coloring lower bound max(max per-lane nonzeros, max per-bank
+        distinct columns), computed by the packer — the analog of the
+        reference's instrumented-csim iteration counts
+        (performance_model/include/shuffle.h:199,279).  Block-major packs
+        trade alpha for per-group gather count; the gap is the class
+        constraint's cost."""
+        sched = self.num_tiles * self.config.sublanes
+        return min(1.0, self.opt_waves / sched) if sched else 1.0
 
     @property
     def fill(self) -> float:
@@ -324,6 +339,7 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
         t_part_arr = np.zeros(1, np.int32)
         first = np.ones(1, np.int32)
         last = np.ones(1, np.int32)
+        opt_waves = 0
     elif native.available() and (res := native.pack_full(
             m.indptr, m.indices, np.ascontiguousarray(m.data, val_dtype),
             rank, col_rank, cfg, n_blocks, n_parts,
@@ -337,6 +353,7 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
         if _leftover_out is not None:
             _leftover_out["nz"] = res["leftover"]
         nnz_total = res["nnz"]
+        opt_waves = res["opt_waves"]
     else:
         row_of_nz = np.repeat(np.arange(m.num_rows), np.diff(m.indptr))
         rho_all = rank[row_of_nz]                   # renamed row per nonzero
@@ -388,6 +405,20 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
         else:
             b2o = None
         n_segs = seg_starts.size
+        # exact schedule lower bound (see Wavepack.alpha), computed from
+        # the pre-scheduling record set exactly like the native pipeline
+        # (_scheduler.cpp::segment_opt_waves)
+        seg_of_nz0 = np.repeat(np.arange(n_segs), np.diff(seg_bounds))
+        cell = (seg_of_nz0 * R + so).astype(np.int64) * 128
+        lane_cnt = np.bincount(cell + lo, minlength=n_segs * R * 128)
+        item_start = np.r_[True, (so[1:] != so[:-1]) | (jo[1:] != jo[:-1])
+                           | (ao[1:] != ao[:-1])
+                           | (seg_of_nz0[1:] != seg_of_nz0[:-1])]
+        bank_cnt = np.bincount(cell[item_start] + jo[item_start],
+                               minlength=n_segs * R * 128)
+        opt_waves = int(np.maximum(lane_cnt.reshape(-1, 128).max(axis=1),
+                                   bank_cnt.reshape(-1, 128).max(axis=1))
+                        .sum())
         if cfg.block_major:
             CT = cfg.total_blocks
             cls_o = (ao // 128).astype(np.int32)
@@ -527,7 +558,8 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     return Wavepack(cfg, orig_num_rows, m.num_cols, n_blocks, n_parts,
                     perm_orig, vals, idxT, t_part_arr, t_block_arr, first,
                     last, nnz=nnz_total, col_order=col_order,
-                    class_map=class_map if cfg.block_major else None)
+                    class_map=class_map if cfg.block_major else None,
+                    opt_waves=opt_waves)
 
 
 def decode(wp: Wavepack) -> CSRMatrix:
@@ -619,7 +651,7 @@ def save_wavepack(path, wp: Wavepack) -> None:
         cfg_dtype=np.array(cfg.dtype),
         cfg_semiring=np.array(cfg.semiring),
         dims=np.array([wp.num_rows, wp.num_cols, wp.n_blocks, wp.n_parts,
-                       wp.nnz], np.int64),
+                       wp.nnz, wp.opt_waves], np.int64),
         perm=wp.perm, vals=wp.vals, idxT=wp.idxT,
         tile_part=wp.tile_part, tile_block=wp.tile_block,
         tile_first=wp.tile_first, tile_last=wp.tile_last,
@@ -641,14 +673,17 @@ def load_wavepack(path) -> Wavepack:
                          steal_mantissa=bool(steal), two_choice=bool(twoc),
                          semiring=str(f["cfg_semiring"]),
                          block_major=bool(bm), classes_per_group=K)
-        nr, nc, nb, npart, nnz = (int(v) for v in f["dims"])
+        dims = [int(v) for v in f["dims"]]
+        nr, nc, nb, npart, nnz = dims[:5]
+        opt_waves = dims[5] if len(dims) > 5 else 0
         co = f["col_order"]
         cm = f["class_map"]
         return Wavepack(cfg, nr, nc, nb, npart, f["perm"], f["vals"],
                         f["idxT"], f["tile_part"], f["tile_block"],
                         f["tile_first"], f["tile_last"], nnz,
                         col_order=co if co.size else None,
-                        class_map=cm if cm.size else None)
+                        class_map=cm if cm.size else None,
+                        opt_waves=opt_waves)
 
 
 def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,

@@ -95,41 +95,26 @@ class PerfEstimate:
                 f"TW={self.tw_s*1e6:.1f}us")
 
 
-def schedule_alpha(m: CSRMatrix, cfg: SpmvConfig, wp: Wavepack) -> float:
-    """Optimum waves / scheduled waves (<= 1)."""
-    sched_waves = wp.num_tiles * cfg.sublanes
-    # optimum: per (block, part, stripe): max(max row nnz, max bank load)
-    RPB, VB = cfg.rows_per_block, cfg.vb_cols
-    rows = np.repeat(np.arange(m.num_rows), m.row_nnz())
-    # approximate using the packer's renamed order statistics: per stripe of
-    # 128 consecutive renamed rows, the nnz of the heaviest row dominates
-    nnz_sorted = np.sort(m.row_nnz())[::-1]
-    n_stripes = -(-max(m.num_rows, 1) // LANES)
-    opt = 0
-    for s in range(n_stripes):
-        seg = nnz_sorted[s * LANES:(s + 1) * LANES]
-        if seg.size:
-            opt += int(seg.max())
-    opt = max(opt, 1)
-    return min(1.0, opt / max(sched_waves, 1))
-
-
 def estimate(m: CSRMatrix, cfg: SpmvConfig, wp: Wavepack,
              hbm_gbps: float = 819.0) -> PerfEstimate:
     nnz = m.nnz
     slots = wp.num_tiles * cfg.tile_slots
     beta = wp.fill
-    alpha = schedule_alpha(m, cfg, wp)
+    # exact measured schedule efficiency, computed by the packer from the
+    # per-(segment, stripe) edge-coloring lower bound (Wavepack.alpha) —
+    # the analog of the reference's instrumented-csim iteration counts
+    # (performance_model/include/shuffle.h:199,279)
+    alpha = wp.alpha
 
     tm = wp.stream_bytes / (hbm_gbps * 1e9)
     n_ops = (cfg.classes_per_group if cfg.block_major
              else cfg.total_blocks)
     rate = slot_rate(n_ops, cfg.block_major)
-    # measured on v5e (scripts/tpu_sweep.py): the doubled/large x tile
-    # slows the gathers beyond what operand count alone predicts
+    # measured on v5e: two-choice doubles the x tile and slows the gathers
+    # beyond what operand count alone predicts; block-major large B does
+    # NOT (B=32/K=4 measured at 38.2 Gslot/s, equal to B=8 — round 3,
+    # single-partition paged path)
     if cfg.block_major:
-        if cfg.bank_blocks > 8:
-            rate *= 0.77
         if cfg.two_choice:
             rate *= 0.94
     elif cfg.two_choice:

@@ -334,6 +334,15 @@ def _spmv_call(vals, idxT, part, block, first, x, cmap=None, *,
           vals, idxT, XT)
         y_blocks = _stripe_fold(out.reshape(n_blocks, S // R, R, LANES), cfg)
     else:
+        # single-partition packs (large-B block-major collapses the column
+        # partitioning) keep the whole XT resident in VMEM un-double-
+        # buffered; only the y blocks page.  Multi-partition packs page XT
+        # per tile by the prefetched partition id.
+        xt_spec = (pl.BlockSpec(memory_space=pltpu.VMEM)
+                   if n_parts == 1 else
+                   pl.BlockSpec((1, cfg.total_blocks, 128, 128),
+                                lambda t, pr, br, fr, cm: (pr[t], 0, 0, 0),
+                                memory_space=pltpu.VMEM))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(T,),
@@ -344,9 +353,7 @@ def _spmv_call(vals, idxT, part, block, first, x, cmap=None, *,
                 pl.BlockSpec((1, S, LANES),
                              lambda t, pr, br, fr, cm: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cfg.total_blocks, 128, 128),
-                             lambda t, pr, br, fr, cm: (pr[t], 0, 0, 0),
-                             memory_space=pltpu.VMEM),
+                xt_spec,
             ],
             out_specs=pl.BlockSpec((1, S, LANES),
                                    lambda t, pr, br, fr, cm: (br[t], 0, 0),
