@@ -54,7 +54,11 @@ class SpmvConfig:
         The analog of the OB bank-size knob (common.h:163).
       dtype: value type of the stream. 'fp32' | 'fixed' (saturating unsigned
         Q8.24 emulated on int32, matching ap_ufixed<32,8,AP_RND,AP_SAT>,
-        common.h:35-39) | 'bf16' (compressed stream fast path).
+        common.h:35-39) | 'bf16' (matrix values emitted as bfloat16 —
+        6 bytes/slot instead of 8; x and the accumulator stay fp32, so the
+        error is one bf16 rounding per term (~2^-8 relative), the analog of
+        the reference's reduced-precision float overlays,
+        spmv-fp/libfpga/common.h:26.  Requires steal_mantissa=False).
       steal_mantissa: fp32 fast path — store the crossbar source lane in the
         7 low mantissa bits of each value (relative error <= 2^-17, far
         below the reference's 1e-4 test tolerance, sw/host.cpp:62).  When
@@ -115,6 +119,9 @@ class SpmvConfig:
                              "(4-bit block field) unless block_major")
         if self.dtype == "fixed" and self.steal_mantissa:
             raise ValueError("fixed-point stream cannot steal mantissa bits")
+        if self.dtype == "bf16" and self.steal_mantissa:
+            raise ValueError("bf16 stream has no mantissa bits to steal "
+                             "(7-bit mantissa; the crossbar lane needs 7)")
         if self.semiring != "plus_times" and self.dtype != "fp32":
             raise ValueError("non-plus_times semirings need fp32")
         if self.steal_mantissa and self.semiring == "min_plus":

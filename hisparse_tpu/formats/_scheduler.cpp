@@ -489,7 +489,7 @@ int64_t wp_plan(
     int64_t* out_opt_waves);
 
 void wp_emit_full(
-    int32_t steal_mantissa, uint32_t pad_bits,
+    int32_t steal_mantissa, int32_t val16, uint32_t pad_bits,
     uint32_t* vals, int32_t* idxT,
     int32_t* t_block, int32_t* t_part, int32_t* t_first, int32_t* t_last,
     int32_t* class_map, int64_t* leftover);
@@ -616,15 +616,22 @@ int64_t wp_plan(
 }
 
 void wp_emit_full(
-    int32_t steal_mantissa, uint32_t pad_bits,
+    int32_t steal_mantissa, int32_t val16, uint32_t pad_bits,
     uint32_t* vals, int32_t* idxT,
     int32_t* t_block, int32_t* t_part, int32_t* t_first, int32_t* t_last,
     int32_t* class_map, int64_t* leftover) {
   const int32_t S = g.S, B = g.B;
   const int64_t T = g.T_total;
   const size_t tile_words = static_cast<size_t>(S) * 128;
-  for (size_t i = 0; i < static_cast<size_t>(T) * tile_words; ++i)
-    vals[i] = pad_bits;
+  uint16_t* vals16 = reinterpret_cast<uint16_t*>(vals);
+  if (val16) {
+    const uint16_t p16 = static_cast<uint16_t>(pad_bits);
+    for (size_t i = 0; i < static_cast<size_t>(T) * tile_words; ++i)
+      vals16[i] = p16;
+  } else {
+    for (size_t i = 0; i < static_cast<size_t>(T) * tile_words; ++i)
+      vals[i] = pad_bits;
+  }
   std::memset(idxT, 0, static_cast<size_t>(T) * tile_words * 4);
 
   int64_t nl = 0;
@@ -661,7 +668,11 @@ void wp_emit_full(
           (r.val & 0xFFFFFF80u) | static_cast<uint32_t>(lane);
     } else {
       idxT[gbase + static_cast<size_t>(lm) * 128 + rr] |= lane << 11;
-      vals[base + static_cast<size_t>(s) * 128 + lm] = r.val;
+      if (val16)
+        vals16[base + static_cast<size_t>(s) * 128 + lm] =
+            static_cast<uint16_t>(r.val);
+      else
+        vals[base + static_cast<size_t>(s) * 128 + lm] = r.val;
     }
   }
   // tile metadata

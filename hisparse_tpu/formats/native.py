@@ -52,7 +52,7 @@ def _load():
                 ctypes.c_int64, _i64p, _i64p, _i64p]
             lib.wp_plan.restype = ctypes.c_int64
             lib.wp_emit_full.argtypes = [
-                ctypes.c_int32, ctypes.c_uint32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32,
                 _u32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i64p]
             lib.wp_emit_full.restype = None
             _lib = lib
@@ -86,7 +86,12 @@ def pack_full(indptr, indices, data, rank, col_rank, cfg,
     n_rows = indptr.shape[0] - 1
     indptr = np.ascontiguousarray(indptr, np.int64)
     indices = np.ascontiguousarray(indices, np.int32)
-    data_bits = np.ascontiguousarray(data).view(np.uint32)
+    val16 = data.dtype.itemsize == 2          # bf16 stream
+    if val16:
+        data_bits = np.ascontiguousarray(
+            data.view(np.uint16).astype(np.uint32))
+    else:
+        data_bits = np.ascontiguousarray(data).view(np.uint32)
     rank = np.ascontiguousarray(rank, np.int64)
     if col_rank is not None:
         col_rank = np.ascontiguousarray(col_rank, np.int64)
@@ -110,7 +115,7 @@ def pack_full(indptr, indices, data, rank, col_rank, cfg,
         return None
     T, nleft = int(T.value), int(nleft.value)
     S, G, K = cfg.sublanes, cfg.groups, cfg.classes_per_group
-    val_dtype = data.dtype if cfg.dtype == "fixed" else np.float32
+    val_dtype = data.dtype if cfg.dtype in ("fixed", "bf16") else np.float32
     vals = np.empty((T, S, 128), val_dtype)
     idxT = np.empty((T, S, 128), np.int32)
     t_block = np.empty(T, np.int32)
@@ -122,10 +127,13 @@ def pack_full(indptr, indices, data, rank, col_rank, cfg,
     pad = (np.float32(np.inf) if cfg.semiring == "min_plus"
            else val_dtype.type(0) if hasattr(val_dtype, "type")
            else np.float32(0))
-    pad_bits = int(np.asarray(pad).view(np.uint32))
+    pad_bits = int(np.asarray(pad).view(
+        np.uint16 if val16 else np.uint32))
     lib.wp_emit_full(
-        ctypes.c_int32(int(cfg.steal_mantissa)), ctypes.c_uint32(pad_bits),
-        _ptr(vals.view(np.uint32), _u32p), _ptr(idxT, _i32p),
+        ctypes.c_int32(int(cfg.steal_mantissa)), ctypes.c_int32(int(val16)),
+        ctypes.c_uint32(pad_bits),
+        _ptr(vals.view(np.uint16 if val16 else np.uint32), _u32p),
+        _ptr(idxT, _i32p),
         _ptr(t_block, _i32p), _ptr(t_part, _i32p),
         _ptr(t_first, _i32p), _ptr(t_last, _i32p),
         _ptr(cmap, _i32p) if cmap is not None else None,

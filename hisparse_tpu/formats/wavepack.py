@@ -326,7 +326,13 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
         col_rank[col_order] = np.arange(m.num_cols)
     else:
         col_rank = None
-    val_dtype = m.data.dtype if cfg.dtype == "fixed" else np.float32
+    if cfg.dtype == "fixed":
+        val_dtype = m.data.dtype
+    elif cfg.dtype == "bf16":
+        import ml_dtypes
+        val_dtype = np.dtype(ml_dtypes.bfloat16)
+    else:
+        val_dtype = np.dtype(np.float32)
     G = cfg.groups
     class_map = None
 
@@ -582,6 +588,8 @@ def decode(wp: Wavepack) -> CSRMatrix:
         h = packed & 0x7F
         b = (packed >> 7) & 0xF
         v = wp.vals[t]
+        if cfg.dtype == "bf16":
+            v = v.astype(np.float32)
         if cfg.steal_mantissa:
             vbits = v.view(np.uint32)
             src = np.broadcast_to((vbits & 0x7F).astype(np.int64),
@@ -652,7 +660,9 @@ def save_wavepack(path, wp: Wavepack) -> None:
         cfg_semiring=np.array(cfg.semiring),
         dims=np.array([wp.num_rows, wp.num_cols, wp.n_blocks, wp.n_parts,
                        wp.nnz, wp.opt_waves], np.int64),
-        perm=wp.perm, vals=wp.vals, idxT=wp.idxT,
+        perm=wp.perm,
+        vals=(wp.vals.view(np.uint16) if cfg.dtype == "bf16" else wp.vals),
+        idxT=wp.idxT,
         tile_part=wp.tile_part, tile_block=wp.tile_block,
         tile_first=wp.tile_first, tile_last=wp.tile_last,
         col_order=(wp.col_order if wp.col_order is not None
@@ -678,7 +688,11 @@ def load_wavepack(path) -> Wavepack:
         opt_waves = dims[5] if len(dims) > 5 else 0
         co = f["col_order"]
         cm = f["class_map"]
-        return Wavepack(cfg, nr, nc, nb, npart, f["perm"], f["vals"],
+        vals = f["vals"]
+        if cfg.dtype == "bf16":
+            import ml_dtypes
+            vals = vals.view(ml_dtypes.bfloat16)
+        return Wavepack(cfg, nr, nc, nb, npart, f["perm"], vals,
                         f["idxT"], f["tile_part"], f["tile_block"],
                         f["tile_first"], f["tile_last"], nnz,
                         col_order=co if co.size else None,

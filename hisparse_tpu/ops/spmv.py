@@ -201,6 +201,8 @@ def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig, cls_ids=None):
         routed = route(idx, get(lambda b: b), src_dest=src_dest)
     else:
         routed = route(idx, get(lambda b: b))
+    if vals.dtype == jnp.bfloat16:
+        vals = vals.astype(jnp.float32)
     if cfg.semiring == "min_plus":
         return jnp.minimum(acc, vals + routed)
     if cfg.semiring == "max_times":
@@ -282,7 +284,10 @@ def _spmv_call(vals, idxT, part, block, first, x, cmap=None, *,
         assert x.dtype == jnp.uint32, "fixed-point SpMV takes raw Q8.24 x"
         x_cast = x
     else:
-        x_cast = x.astype(vals.dtype)
+        # bf16 streams compress the matrix values only; x and the
+        # accumulator stay fp32 (one bf16 rounding per term)
+        x_cast = x.astype(jnp.float32)
+    acc_dtype = vals.dtype if cfg.dtype == "fixed" else jnp.float32
     x_padded = jnp.pad(x_cast, (0, n_parts * cfg.vb_cols - x.shape[0]))
     # vector-loader analog: pre-transpose x into per-partition bank blocks
     # XT[p, b, l, h] = x[p*VB + (b*128 + h)*128 + l]
@@ -325,7 +330,7 @@ def _spmv_call(vals, idxT, part, block, first, x, cmap=None, *,
             ],
             out_specs=pl.BlockSpec((n_blocks * S, LANES), lambda t: (0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks * S, LANES), vals.dtype),
+            out_shape=jax.ShapeDtypeStruct((n_blocks * S, LANES), acc_dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
@@ -362,7 +367,7 @@ def _spmv_call(vals, idxT, part, block, first, x, cmap=None, *,
         out = pl.pallas_call(
             functools.partial(_paged_kernel, cfg=cfg),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_blocks, S, LANES), vals.dtype),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, S, LANES), acc_dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,

@@ -388,3 +388,46 @@ def test_pack_decode_colsort():
     wp = pack(m, cfg, split_max=16, col_order="degree")
     assert wp.col_order is not None
     assert_same_matrix(m, decode(wp))
+
+
+def test_bf16_stream_dtype():
+    """dtype='bf16' emits real bfloat16 value streams (6 bytes/slot), with
+    byte-equal native/Python twins, a decode oracle within bf16 rounding,
+    and save/load round-trip.  The analog of the reference's reduced-
+    precision float overlays (spmv-fp/libfpga/common.h:26)."""
+    import ml_dtypes
+    from hisparse_tpu.formats import native
+    from hisparse_tpu.formats.wavepack import save_wavepack, load_wavepack
+    cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=64, dtype="bf16")
+    m = powerlaw_csr(800, 1800, 7, seed=31)
+    wp = pack(m, cfg, split_max=16)
+    assert wp.vals.dtype == ml_dtypes.bfloat16
+    assert wp.stream_bytes == wp.num_tiles * cfg.tile_slots * 6
+    if native.available():
+        orig = native.available
+        native.available = lambda: False
+        try:
+            wp_p = pack(m, cfg, split_max=16)
+        finally:
+            native.available = orig
+        assert wp.vals.tobytes() == wp_p.vals.tobytes()
+        assert wp.idxT.tobytes() == wp_p.idxT.tobytes()
+    d = np.abs((decode(wp).to_scipy() - m.to_scipy()).toarray()).max()
+    assert d <= 0.005 * np.abs(m.data).max()     # one bf16 rounding
+    import pytest
+    with pytest.raises(ValueError):
+        SpmvConfig(dtype="bf16", steal_mantissa=True)
+
+
+def test_bf16_spmv_vs_golden(tmp_path):
+    from hisparse_tpu.ops.spmv import SpmvOperator
+    from hisparse_tpu.ops.golden import spmv_f64
+    cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=64, dtype="bf16")
+    m = powerlaw_csr(800, 1800, 7, seed=32)
+    wp = pack(m, cfg, split_max=16)
+    x = np.random.default_rng(0).random(m.num_cols).astype(np.float32)
+    y = SpmvOperator(wp, interpret=True)(x)
+    ref = spmv_f64(m, x)
+    err = np.abs(y - ref).max() / max(np.abs(ref).max(), 1)
+    assert y.dtype == np.float32          # fp32 accumulate
+    assert err < 8e-3                     # bf16 per-term rounding budget
