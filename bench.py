@@ -374,6 +374,10 @@ def main():
         bcsr_tracking_row(on_tpu)
     except Exception as e:                                # noqa: BLE001
         print(f"bcsr row failed: {e!r}", file=sys.stderr, flush=True)
+    try:
+        pagerank_tracking_row(on_tpu)
+    except Exception as e:                                # noqa: BLE001
+        print(f"pagerank row failed: {e!r}", file=sys.stderr, flush=True)
 
     g = geomean(gops_list)
     print(json.dumps({
@@ -382,6 +386,31 @@ def main():
         "unit": "GOPS",
         "vs_baseline": round(g / BASELINE_GOPS, 3),
     }))
+
+
+def pagerank_tracking_row(on_tpu):
+    """Timed app-level row: full PageRank iterations chained on device in
+    renamed space (matrix apply + hub-split combine + damping — everything
+    a consumer of the result pays per iteration).  The one-shot SpMV rows
+    above report the renamed-layout contract documented in BASELINE.md;
+    this row is the end-to-end check that the contract costs nothing for
+    iterative apps."""
+    import jax
+    from hisparse_tpu import powerlaw_csr
+    from hisparse_tpu.models.apps import PageRank, pagerank_reference
+    from hisparse_tpu.utils.bench import device_loop_time
+    m = powerlaw_csr(100000, 100000, 10, alpha=1.3, seed=2)
+    pr = PageRank(m, interpret=not on_tpu)
+    r = pr.run(iters=20)
+    ref = pagerank_reference(m, iters=20)
+    err = np.abs(r - ref).max() / max(np.abs(ref).max(), 1e-30)
+    fn, args = pr.step_fn()
+    import jax.numpy as jnp
+    x0 = jnp.zeros(pr.n_slots_rank, jnp.float32).at[:pr.n].set(1.0 / pr.n)
+    dt = device_loop_time(fn, x0, *args)
+    gops = 2 * m.nnz / dt / 1e9
+    print(f"    pagerank-100k: {dt*1e3:.4f} ms/iter | {1/dt:7.1f} iters/s | "
+          f"{gops:6.1f} GOPS | err {err:.1e}", file=sys.stderr, flush=True)
 
 
 def bcsr_tracking_row(on_tpu):

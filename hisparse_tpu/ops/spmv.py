@@ -423,6 +423,30 @@ class SpmvOperator:
         self.cmap = (jnp.asarray(wp.class_map.reshape(-1))
                      if wp.class_map is not None else None)
 
+    def unpack_device(self, y_renamed):
+        """Renamed -> natural-row-order y entirely on device: one scatter
+        over the stored perm combining hub-split partials with the
+        semiring's additive op (the analog of spmv_result_drain writing
+        natural-order y to HBM, spmv/spmv_result_drain.cpp:11-126).
+        Fixed-point packs need the saturating host recombine (unpack_y)."""
+        if self.cfg.dtype == "fixed":
+            raise ValueError("fixed-point recombine saturates; use "
+                             "wp.unpack_y on host")
+        perm = jnp.asarray(self.wp.perm)     # padding slots == num_rows
+        n = self.wp.num_rows
+        sr = self.cfg.semiring
+        init = {"plus_times": 0.0, "min_plus": jnp.inf,
+                "max_times": -jnp.inf}[sr]
+        out = jnp.full(n + 1, init, y_renamed.dtype)
+        if sr == "plus_times":
+            out = out.at[perm].add(y_renamed)
+        elif sr == "min_plus":
+            out = out.at[perm].min(y_renamed)
+        else:
+            out = out.at[perm].max(y_renamed)
+            out = jnp.maximum(out, 0.0)      # empty rows -> 0
+        return out[:n]
+
     def __call__(self, x, renamed: bool = False):
         if self.cfg.dtype == "fixed" and np.asarray(x).dtype != np.uint32:
             from .golden import float_to_fixed

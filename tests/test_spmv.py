@@ -203,3 +203,23 @@ def test_colsort_operator_auto_permute():
     ref = spmv_f64(m, x)
     scale = max(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(y, ref, atol=1e-4 * scale, rtol=1e-4)
+
+
+def test_unpack_device_matches_host():
+    """Device-side renamed->natural unpermute (one scatter-combine over the
+    stored perm, the result-drain analog) matches the host recombine for
+    every non-fixed semiring, including hub-split duplicate slots."""
+    import jax.numpy as jnp
+    from hisparse_tpu import SpmvConfig, powerlaw_csr, pack
+    from hisparse_tpu.ops.spmv import SpmvOperator
+    m = powerlaw_csr(700, 900, 8, alpha=1.1, seed=9)
+    for sr in ("plus_times", "min_plus", "max_times"):
+        cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128,
+                         semiring=sr, two_choice=False)
+        wp = pack(m, cfg, split_max=8)     # tight split forces duplicates
+        op = SpmvOperator(wp, interpret=True)
+        x = np.random.default_rng(0).random(m.num_cols).astype(np.float32)
+        yr = op(x, renamed=True)
+        y_dev = np.asarray(op.unpack_device(jnp.asarray(yr)))
+        y_host = wp.unpack_y(np.asarray(yr))
+        np.testing.assert_allclose(y_dev, y_host, atol=1e-6), sr
