@@ -108,7 +108,7 @@ class SpmvConfig:
         # grow until the resident x tile hits VMEM — large B shrinks the
         # column-partition count, which collapses the per-segment tile tail
         # on spread-column graphs (the pokec regime)
-        cap = 64 if self.block_major else 16
+        cap = 128 if self.block_major else 16
         if self.bank_blocks < 1 or self.bank_blocks > cap:
             raise ValueError(f"bank_blocks must be in [1, {cap}]"
                              + ("" if self.block_major

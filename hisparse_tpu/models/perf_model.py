@@ -97,7 +97,14 @@ class PerfEstimate:
 
 def estimate(m: CSRMatrix, cfg: SpmvConfig, wp: Wavepack,
              hbm_gbps: float = 819.0) -> PerfEstimate:
-    nnz = m.nnz
+    return estimate_pack(wp, hbm_gbps)
+
+
+def estimate_pack(wp: Wavepack, hbm_gbps: float = 819.0) -> PerfEstimate:
+    """Estimate from the pack alone (everything needed is on the Wavepack:
+    nnz, fill, measured alpha, stream bytes, geometry)."""
+    cfg = wp.config
+    nnz = wp.nnz
     slots = wp.num_tiles * cfg.tile_slots
     beta = wp.fill
     # exact measured schedule efficiency, computed by the packer from the
@@ -122,7 +129,10 @@ def estimate(m: CSRMatrix, cfg: SpmvConfig, wp: Wavepack,
     tc = slots / (rate * 1e9)
     resident = (resident_bytes(cfg, wp.n_blocks, wp.n_parts)
                 <= _RESIDENT_VMEM_BUDGET)
-    x_bytes = wp.n_parts * cfg.vb_cols * 4 * (1 if resident else wp.n_blocks)
+    # single-partition packs keep XT fully resident even in the paged
+    # variant (only y pages), so x loads once either way
+    x_once = resident or wp.n_parts == 1
+    x_bytes = wp.n_parts * cfg.vb_cols * 4 * (1 if x_once else wp.n_blocks)
     tv = x_bytes / (hbm_gbps * 1e9)
     tw = wp.n_blocks * cfg.stripes * LANES * 4 / (hbm_gbps * 1e9)
 

@@ -33,6 +33,26 @@ from ..formats.wavepack import Wavepack, pack
 from ..ops.spmv import _spmv_call
 
 
+def _pack_one(args):
+    sub, cfg, split_max = args
+    return pack(sub, cfg, split_max=split_max)
+
+
+def _pack_shards(subs, cfg, split_max):
+    """Pack every shard, in a process pool when the host has cores to
+    spare (the shards are independent (channel-deal) units, exactly like
+    the reference's per-channel packing, sw/data_formatter.h:410); packs
+    serially on single-core hosts where pool IPC would only add copies."""
+    import os
+    workers = min(len(subs), os.cpu_count() or 1)
+    if workers <= 1 or len(subs) <= 1:
+        return [pack(sub, cfg, split_max=split_max) for sub in subs]
+    from concurrent.futures import ProcessPoolExecutor
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(_pack_one,
+                           [(sub, cfg, split_max) for sub in subs]))
+
+
 def _pad_tiles(wp: Wavepack, T: int, n_blocks: int) -> Wavepack:
     """Pad a wavepack stream to exactly T tiles / n_blocks blocks with inert
     tiles (semiring-identity values, matching pack()'s pad_val; scheduled as
@@ -95,17 +115,17 @@ class ShardedSpmv:
         nd = mesh.devices.size
         rows_per_shard = -(-m.num_rows // nd)
         self.rows_per_shard = rows_per_shard
-        shards = []
+        subs = []
         for d in range(nd):
             r0 = d * rows_per_shard
             r1 = min(m.num_rows, r0 + rows_per_shard)
             r1 = max(r1, r0)
             indptr = m.indptr[r0:r1 + 1] - m.indptr[r0]
-            sub = CSRMatrix(r1 - r0, m.num_cols,
-                            m.data[m.indptr[r0]:m.indptr[r1]],
-                            m.indices[m.indptr[r0]:m.indptr[r1]],
-                            np.asarray(indptr))
-            shards.append(pack(sub, cfg, split_max=split_max))
+            subs.append(CSRMatrix(r1 - r0, m.num_cols,
+                                  m.data[m.indptr[r0]:m.indptr[r1]],
+                                  m.indices[m.indptr[r0]:m.indptr[r1]],
+                                  np.asarray(indptr)))
+        shards = _pack_shards(subs, cfg, split_max)
         T = max(wp.num_tiles for wp in shards)
         NB = max(wp.n_blocks for wp in shards)
         self.shards = [_pad_tiles(wp, T, NB) for wp in shards]
@@ -156,6 +176,17 @@ class ShardedSpmv:
         extra = (self.cmap,) if self.cmap is not None else ()
         return self._sharded(self.vals, self.idxT, self.part, self.block,
                              self.first, jnp.asarray(x), *extra)
+
+    def perf_estimate(self, hbm_gbps: float = 819.0):
+        """Per-device modeled estimates plus the aggregate step rate the
+        mesh would sustain (the slowest shard binds the SPMD step) — the
+        multi-chip perf prediction the CPU-mesh path provides in lieu of
+        real multi-chip hardware."""
+        from ..models.perf_model import estimate_pack
+        ests = [estimate_pack(wp, hbm_gbps) for wp in self.shards]
+        t_step = max(e.time_s for e in ests)
+        nnz = sum(wp.nnz for wp in self.shards)
+        return ests, 2 * nnz / t_step / 1e9
 
     def unpack_y(self, y_sharded) -> np.ndarray:
         """Assemble the global y on host from per-device renamed blocks."""
