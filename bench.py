@@ -105,11 +105,12 @@ def _tune_cache_load():
         return {}
 
 
-def _tune_cache_store(key, cfg, split, co):
+def _tune_cache_store(key, cfg, split, co, ro=None):
     d = _tune_cache_load()
     import dataclasses as _dc
     d[key] = {"cfg": _dc.asdict(cfg), "split": split,
-              "col_order": co if isinstance(co, (str, type(None))) else None}
+              "col_order": co if isinstance(co, (str, type(None))) else None,
+              "row_order": ro}
     with open(TUNE_CACHE_PATH, "w") as f:
         json.dump(d, f, indent=1, sort_keys=True)
 
@@ -137,9 +138,11 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
     wp = None
     ckey = f"{name}:{m.num_rows}x{m.num_cols}:{m.nnz}:{dtype}"
     cached = None if retune else _tune_cache_load().get(ckey)
+    ro = None
     if cached is not None:
         cfg = SpmvConfig(**cached["cfg"])
         split, co = cached["split"], cached["col_order"]
+        ro = cached.get("row_order")
     elif density >= 0.05:
         # dense-rows regime: the DSE answer is known (many slots per row);
         # skip the per-config packs, they dominate preprocessing
@@ -154,28 +157,38 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
         co = col_order
         from hisparse_tpu.models.perf_model import estimate
         base = max(8, 1 << int(round(np.log2(max(avg, 1.0)))))
-        # large B shrinks the column-partition count (B=32 -> one partition
-        # up to 4.2M cols), collapsing the per-segment tile tail that
-        # dominates spread-column graphs; measured on-chip at full slot
-        # rate (38 Gslot/s, round 3)
+        # large B collapses the column partitioning (B_fit = one partition
+        # for the whole x; XT is a reshape of x, VMEM-small), and the
+        # locality row order clusters each wave's rows onto the same few
+        # x-blocks — together they lift spread-column-graph fill 0.12 ->
+        # 0.27 at full slot rate (measured on-chip, round 3)
+        B_fit = min(128, max(8, -(-m.num_cols // 16384)))
         cands = [
-            (SpmvConfig(sublanes=512, bank_blocks=32, stripes=512,
+            (SpmvConfig(sublanes=512, bank_blocks=B_fit, stripes=512,
                         two_choice=False, block_major=True,
-                        classes_per_group=4, steal_mantissa=True), base),
+                        classes_per_group=4, steal_mantissa=True),
+             2 * base, "locality"),
+            (SpmvConfig(sublanes=512, bank_blocks=B_fit, stripes=512,
+                        two_choice=False, block_major=True,
+                        classes_per_group=4, steal_mantissa=True),
+             base, "locality"),
+            (SpmvConfig(sublanes=512, bank_blocks=B_fit, stripes=512,
+                        two_choice=False, block_major=True,
+                        classes_per_group=4, steal_mantissa=True),
+             base, None),
             (SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
                         two_choice=False, block_major=True,
-                        classes_per_group=4, steal_mantissa=True), base),
-            (SpmvConfig(sublanes=512, bank_blocks=16, stripes=512,
-                        two_choice=True, block_major=True,
-                        classes_per_group=4, steal_mantissa=True), base),
+                        classes_per_group=4, steal_mantissa=True),
+             base, None),
         ]
         best = None
-        for cfg_c, sm in dict.fromkeys(cands):
-            wp_c = pack(m, cfg_c, split_max=sm, col_order=co)
+        for cfg_c, sm, ro_c in dict.fromkeys(cands):
+            wp_c = pack(m, cfg_c, split_max=sm, col_order=co,
+                        row_order=ro_c)
             g = estimate(m, cfg_c, wp_c).gops
             if best is None or g > best[0]:
-                best = (g, cfg_c, sm, wp_c)
-        _, cfg, split, wp = best
+                best = (g, cfg_c, sm, ro_c, wp_c)
+        _, cfg, split, ro, wp = best
     else:
         co = col_order    # hub columns into the first classes
         from hisparse_tpu.models.dse import explore
@@ -263,7 +276,7 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
     # baked into the bitstream; auto-tuning has no analog there and is a
     # one-time per-matrix cost, reported separately in the tag)
     t1 = time.perf_counter()
-    wp = pack(m, cfg, split_max=split, col_order=co)
+    wp = pack(m, cfg, split_max=split, col_order=co, row_order=ro)
     pre = time.perf_counter() - t1
     op = SpmvOperator(wp, interpret=not on_tpu)
     x = np.random.default_rng(0).random(m.num_cols).astype(np.float32)
@@ -282,7 +295,7 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
     # persist the tuned point only once the config verified good, so a BAD
     # design point is never silently reused from the cache
     if cached is None and ok:
-        _tune_cache_store(ckey, cfg, split, co)
+        _tune_cache_store(ckey, cfg, split, co, ro)
     met = measure_spmv(name, op, x, m.nnz, wp.stream_bytes,
                        preproc_s=pre, fill=wp.fill)
     tag = (f"cfg S={cfg.sublanes} B={cfg.bank_blocks} R={cfg.stripes} "

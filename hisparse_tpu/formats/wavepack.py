@@ -310,22 +310,54 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     n_blocks = max(1, -(-m.num_rows // RPB))
     n_parts = max(1, -(-m.num_cols // VB))
 
-    # --- row renaming: sort by nnz descending (data_formatter.h:337-368) ---
-    if row_order is None:
-        row_order = argsort_rows_by_nnz(m, descending=True)
-    perm = np.concatenate([row_order,
-                           np.arange(m.num_rows, n_blocks * RPB)]).astype(np.int64)
-
-    # renamed id of each original row
-    rank = np.empty(n_blocks * RPB, np.int64)
-    rank[perm] = np.arange(n_blocks * RPB)
-
     nnz_total = m.nnz
     if col_order is not None:
         col_rank = np.empty(m.num_cols, np.int64)
         col_rank[col_order] = np.arange(m.num_cols)
     else:
         col_rank = None
+
+    # --- row renaming ---------------------------------------------------
+    # default: sort by nnz descending (data_formatter.h:337-368), dealt
+    # round-robin over blocks and stripes for balanced wave demand.
+    # "locality": cluster rows by the mean degree-rank of their columns
+    # and give each (block, stripe) a CONTIGUOUS 128-row cluster, so every
+    # wave's rows want the same few x-blocks — the co-clustering answer to
+    # class starvation on spread-column graphs (pokec-400k fill
+    # 0.27 -> 0.35 measured; needs a col_order for the rank key).
+    if isinstance(row_order, str):
+        if row_order != "locality":
+            raise ValueError(f"unknown row_order preset {row_order!r}")
+        rows_of = np.repeat(np.arange(m.num_rows), m.row_nnz())
+        cr = (col_rank[m.indices] if col_rank is not None
+              else m.indices.astype(np.int64))
+        s = np.zeros(m.num_rows)
+        np.add.at(s, rows_of, cr.astype(np.float64))
+        key = np.full(n_blocks * RPB, np.inf)    # empty + pad rows last
+        nr = m.row_nnz()
+        key[:m.num_rows] = np.where(nr > 0, s / np.maximum(nr, 1), np.inf)
+        order = np.argsort(key[:m.num_rows], kind="stable")
+        order = np.concatenate([order, np.arange(m.num_rows,
+                                                 n_blocks * RPB)])
+        perm = np.empty(n_blocks * RPB, np.int64)
+        nch = n_blocks * RPB // 128
+        ci = np.arange(nch)
+        # chunk ci -> block ci//R, stripe ci%R; lane lam within the chunk:
+        # rank r = blk + n_blocks*(sigma + R*lam)
+        r_base = (ci // R) + n_blocks * (ci % R)
+        ranks = (r_base[:, None]
+                 + (n_blocks * R) * np.arange(128)[None, :]).reshape(-1)
+        perm[ranks] = order
+    else:
+        if row_order is None:
+            row_order = argsort_rows_by_nnz(m, descending=True)
+        perm = np.concatenate(
+            [row_order,
+             np.arange(m.num_rows, n_blocks * RPB)]).astype(np.int64)
+
+    # renamed id of each original row
+    rank = np.empty(n_blocks * RPB, np.int64)
+    rank[perm] = np.arange(n_blocks * RPB)
     if cfg.dtype == "fixed":
         val_dtype = m.data.dtype
     elif cfg.dtype == "bf16":

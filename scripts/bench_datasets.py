@@ -38,6 +38,10 @@ def suite(scale: float):
                                            127.0, 1.2, seed=11)))
     from hisparse_tpu import rmat_csr
     out.append(("pokec", rmat_csr(s(1632000), s(1632000), 19.0, seed=12)))
+    # hollywood at published shape: 1.07M rows, 113M nnz (sw/bm.sh:4-17,
+    # run on hw by sw/host.cpp:335-357) — the >=100M-nnz scale tier
+    out.append(("hollywood", rmat_csr(s(1069000), s(1069000), 106.0,
+                                      seed=13)))
     # pruned-NN suite, full size (512 x 33288 at 50..5% density)
     for pct in (50, 70, 90, 95):
         d = (100 - pct) / 100.0

