@@ -217,7 +217,7 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
             fruitless = 0
             while ii < len(pending):
                 if (rows_used == LANES or banks_used == LANES
-                        or fruitless >= 128):
+                        or fruitless >= 256):
                     break
                 ent = pending[ii]
                 if ent[0] == 0:                 # drained: swap-remove
@@ -825,7 +825,7 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
                     fruitless = 0
                     while ii < len(lst):
                         if (placed_rows == LANES or banks_used == LANES
-                                or fruitless >= 128):
+                                or fruitless >= 256):
                             break
                         ent = lst[ii]
                         if ent[0] == 0:          # drained: swap-remove
