@@ -82,6 +82,9 @@ def pack_full(indptr, indices, data, rank, col_rank, cfg,
     lib = _load()
     if lib is None:
         return None
+    import time
+    prof = os.environ.get("WP_PROF") == "1"
+    tp0 = time.perf_counter()
     nnz = int(indptr[-1])
     n_rows = indptr.shape[0] - 1
     indptr = np.ascontiguousarray(indptr, np.int64)
@@ -113,6 +116,7 @@ def pack_full(indptr, indices, data, rank, col_rank, cfg,
         ctypes.byref(T), ctypes.byref(nleft), ctypes.byref(opt_waves))
     if rc != 0:
         return None
+    tp1 = time.perf_counter()
     T, nleft = int(T.value), int(nleft.value)
     S, G, K = cfg.sublanes, cfg.groups, cfg.classes_per_group
     val_dtype = data.dtype if cfg.dtype in ("fixed", "bf16") else np.float32
@@ -129,6 +133,7 @@ def pack_full(indptr, indices, data, rank, col_rank, cfg,
            else np.float32(0))
     pad_bits = int(np.asarray(pad).view(
         np.uint16 if val16 else np.uint32))
+    tp2 = time.perf_counter()
     lib.wp_emit_full(
         ctypes.c_int32(int(cfg.steal_mantissa)), ctypes.c_int32(int(val16)),
         ctypes.c_uint32(pad_bits),
@@ -138,6 +143,10 @@ def pack_full(indptr, indices, data, rank, col_rank, cfg,
         _ptr(t_first, _i32p), _ptr(t_last, _i32p),
         _ptr(cmap, _i32p) if cmap is not None else None,
         _ptr(leftover, _i64p) if nleft else None)
+    if prof:
+        import sys
+        print(f"pack_full: plan {tp1-tp0:.2f}s alloc {tp2-tp1:.2f}s "
+              f"emit {time.perf_counter()-tp2:.2f}s", file=sys.stderr)
     return dict(vals=vals, idxT=idxT, tile_block=t_block, tile_part=t_part,
                 tile_first=t_first, tile_last=t_last, class_map=cmap,
                 leftover=leftover, nnz=nnz - nleft,

@@ -284,6 +284,10 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     one in tests).
     """
     from ..utils.tracing import log_phase
+    import os as _os
+    import time as _time
+    _prof = _os.environ.get("WP_PROF") == "1"
+    _tp = _time.perf_counter()
     cfg = config or SpmvConfig()
     log_phase(f"pack: {m.num_rows}x{m.num_cols} nnz={m.nnz} cfg={cfg}")
     if isinstance(col_order, str):
@@ -304,6 +308,11 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
         m, row_map = split_rows(m, split_max)
     else:
         row_map = np.arange(m.num_rows, dtype=np.int64)
+    if _prof:
+        import sys as _sys
+        print(f"pack: colorder+split {_time.perf_counter()-_tp:.2f}s",
+              file=_sys.stderr)
+        _tp = _time.perf_counter()
     S, R, B = cfg.sublanes, cfg.stripes, cfg.bank_blocks
     RPB = cfg.rows_per_block          # rows per block
     VB = cfg.vb_cols                  # cols per partition
@@ -369,6 +378,11 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     class_map = None
 
     from . import native
+    if _prof:
+        import sys as _sys
+        print(f"pack: rename {_time.perf_counter()-_tp:.2f}s",
+              file=_sys.stderr)
+        _tp = _time.perf_counter()
     if nnz_total == 0:
         pad0 = np.inf if cfg.semiring == "min_plus" else 0
         vals = np.full((1, S, LANES), pad0, val_dtype)
@@ -575,6 +589,11 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
         first[chg] = 1
         last[np.r_[chg[1:], True]] = 1
 
+    if _prof:
+        import sys as _sys
+        print(f"pack: plan+emit {_time.perf_counter()-_tp:.2f}s",
+              file=_sys.stderr)
+        _tp = _time.perf_counter()
     # map renamed -> original rows (virtual rows of a split hub all map to
     # the same original row; padding rows map to the sentinel orig_num_rows)
     perm_orig = np.where(perm < m.num_rows,
