@@ -53,6 +53,11 @@ inline bool wp_prof() {
   if (v < 0) { const char* e = getenv("WP_PROF"); v = e && e[0] == '1'; }
   return v;
 }
+// NOTE: do NOT madvise(MADV_HUGEPAGE) here.  These hosts run THP in
+// madvise mode with synchronous compaction: hugepage faults measured
+// ~13 MB/s vs ~1.7 GB/s for plain 4 KiB faults (130x WORSE).  numpy's
+// own hugepage madvise is disabled in utils/hostmem.tune_allocator for
+// the same reason.
 inline int32_t fruitless_cap() {
   // Blocked-item visits tolerated per wave walk before giving up.  256
   // measured best (powerlaw fill 0.301 -> 0.315, mouse-gene 0.643 ->
@@ -79,7 +84,7 @@ struct Rec {        // one nonzero, 24 bytes; sorted by key
   uint16_t a;       // in-partition address: column = part*VB + a*128 + bank
   uint8_t lam;      // row lane
   uint8_t bank;     // gather lane (primary)
-  uint8_t alive;    // not yet placed (scheduler state; rides in the pad)
+  uint8_t pad0;     // (placed-state moved to the g.nxt alive chain)
   uint8_t pad1;
 };
 
@@ -116,6 +121,9 @@ struct PlanState {
   std::vector<std::vector<int32_t>> pend;    // bm: per (stripe, class)
   std::vector<int32_t> cnt_rlc;              // (R,128,CT) bm row coverage
   std::vector<int64_t> rows_cnt;             // (R,CT)
+  std::vector<uint16_t> nxt;                 // per-record next-alive offset
+                                             // within its item (== count
+                                             // terminates the walk)
   int64_t opt_waves;                         // edge-coloring lower bound
 };
 PlanState g;
@@ -171,26 +179,33 @@ void radix_sort(std::vector<Rec>& v, std::vector<Rec>& tmp, int64_t maxkey) {
 }
 
 // Place every free row of `it` into the current wave.  Identical semantics
-// in the Python twins: scan from alive0, skip dead, skip used lanes (and
-// remember the first still-alive offset), place the rest.
+// to the Python twins: visit the item's not-yet-placed records in ascending
+// offset order, skip used lanes, place the rest.  Placed records are
+// UNLINKED from the per-item alive chain (g.nxt) so hub items never
+// re-scan their dead majority — the linked walk visits exactly the records
+// the old skip-scan visited, in the same order, so the schedule (and the
+// packed bytes) are unchanged.
 template <typename Out>
 inline int32_t place_rows(Item& it, bool lanes_used[128], Out&& out) {
-  int32_t placed = 0, first_alive = -1;
-  for (int32_t o = it.alive0; o < it.count; ++o) {
-    int32_t idx = it.head + o;
-    Rec& r = g.recs[idx];
-    if (!r.alive) continue;
-    int32_t lm = r.lam;
+  int32_t placed = 0, prev = -1;
+  const int32_t cnt = it.count;
+  int32_t o = it.alive0;
+  while (o < cnt) {
+    const int32_t idx = it.head + o;
+    const int32_t nx = g.nxt[idx];
+    const int32_t lm = g.recs[idx].lam;
     if (lanes_used[lm]) {
-      if (first_alive < 0) first_alive = o;
+      prev = o;
+      o = nx;
       continue;
     }
     lanes_used[lm] = true;
-    r.alive = 0;
     out(idx);
     ++placed;
+    if (prev < 0) it.alive0 = static_cast<uint16_t>(nx);
+    else g.nxt[it.head + prev] = static_cast<uint16_t>(nx);
+    o = nx;
   }
-  if (first_alive >= 0) it.alive0 = static_cast<uint16_t>(first_alive);
   it.remaining = static_cast<uint16_t>(it.remaining - placed);
   return placed;
 }
@@ -239,7 +254,10 @@ void schedule_chain_segment(int64_t lo, int64_t hi) {
       Item it{};
       it.head = static_cast<int32_t>(p);
       const int64_t cap = p + 65535;
-      while (p < e && p < cap && g.recs[p].bank == b && g.recs[p].a == a) ++p;
+      while (p < e && p < cap && g.recs[p].bank == b && g.recs[p].a == a) {
+        g.nxt[p] = static_cast<uint16_t>(p - it.head + 1);
+        ++p;
+      }
       it.count = static_cast<uint16_t>(p - it.head);
       it.remaining = it.count;
       it.alive0 = 0; it.stamp = -1;
@@ -327,7 +345,10 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
     it.head = static_cast<int32_t>(p);
     const int64_t cap = p + 65535;
     while (p < hi && p < cap && g.recs[p].sigma == sg && g.recs[p].bank == b
-           && g.recs[p].a == a) ++p;
+           && g.recs[p].a == a) {
+      g.nxt[p] = static_cast<uint16_t>(p - it.head + 1);
+      ++p;
+    }
     it.count = static_cast<uint16_t>(p - it.head);
     it.remaining = it.count;
     it.alive0 = 0; it.stamp = -1;
@@ -570,7 +591,7 @@ int64_t wp_plan(
   const int64_t n_segs = static_cast<int64_t>(g.seg_block.size());
 
   g.out.assign(nnz, SchedOut{0, 0, 0, 0, 0});
-  for (Rec& r : g.recs) r.alive = 1;
+  g.nxt.resize(nnz);
   g.class_map.clear();
   g.seg_tiles.assign(n_segs, 0);
 
@@ -628,6 +649,7 @@ void wp_emit_full(
   const int64_t T = g.T_total;
   const size_t tile_words = static_cast<size_t>(S) * 128;
   uint16_t* vals16 = reinterpret_cast<uint16_t*>(vals);
+  const double te0 = now_s();
   if (val16) {
     const uint16_t p16 = static_cast<uint16_t>(pad_bits);
     for (size_t i = 0; i < static_cast<size_t>(T) * tile_words; ++i)
@@ -637,6 +659,7 @@ void wp_emit_full(
       vals[i] = pad_bits;
   }
   std::memset(idxT, 0, static_cast<size_t>(T) * tile_words * 4);
+  const double te1 = now_s();
 
   int64_t nl = 0;
   for (int64_t i = 0; i < g.nnz; ++i) {
@@ -679,6 +702,7 @@ void wp_emit_full(
         vals[base + static_cast<size_t>(s) * 128 + lm] = r.val;
     }
   }
+  const double te2 = now_s();
   // tile metadata
   int64_t t = 0;
   for (size_t s = 0; s < g.seg_tiles.size(); ++s) {
@@ -693,6 +717,9 @@ void wp_emit_full(
   }
   if (class_map && g.block_major)
     std::copy(g.class_map.begin(), g.class_map.end(), class_map);
+  if (wp_prof())
+    fprintf(stderr, "wp_emit: init %.2fs scatter %.2fs meta %.2fs\n",
+            te1 - te0, te2 - te1, now_s() - te2);
   // release the big record buffer (keep capacity elsewhere small)
   std::vector<Rec>().swap(g.tmp);
 }

@@ -3,16 +3,24 @@
 The preprocessing pipeline (formats/wavepack.py, formats/_scheduler.cpp) is
 the analog of the reference's CPU-side csr2cpsr (sw/data_formatter.h:465-544)
 and must hit paper-Table-8-class throughput.  On the virtualized hosts this
-framework targets, *page faults dominate*: glibc serves every large numpy
-temporary via a fresh mmap and returns it on free, so each O(nnz) pass
-re-faults hundreds of MB (measured here: 400 MB memcpy at 0.1 GB/s fresh vs
-6 GB/s warm — a 50x tax on every pass).
+framework targets, *page faults dominate*, for two separate reasons:
 
-``tune_allocator()`` raises the glibc mmap and trim thresholds so large
-allocations come from the (persistent, already-faulted) heap and the high-
-water mark is reused across passes and packs.  Measured effect on this
-class of host: np.sort of 27M int64 drops 19 s -> 1.9 s; a full 27M-nnz
-pack drops by minutes.  Idempotent, a no-op off glibc.
+1. numpy madvises ``MADV_HUGEPAGE`` on every large allocation (its Linux
+   default).  With transparent hugepages in ``madvise`` mode these hosts
+   compact synchronously on fault at ~13 MB/s — vs ~1.7 GB/s for plain 4 KiB
+   faults (measured side by side; a 130x tax).  This, not raw fault cost,
+   was the "fresh pages at 0.1 GB/s" mystery: a 316 MB pack-output touch
+   cost ~9 s with the madvise and ~0.2 s without.
+2. glibc serves every large numpy temporary via a fresh mmap and returns it
+   on free, so each O(nnz) pass re-faults hundreds of MB even at the fast
+   rate.
+
+``tune_allocator()`` disables numpy's hugepage madvise and raises the glibc
+mmap and trim thresholds so large allocations come from the (persistent,
+already-faulted) heap and the high-water mark is reused across passes and
+packs.  Measured effect on this class of host: np.sort of 27M int64 drops
+19 s -> 1.9 s; first-touch of a fresh 316 MB buffer drops 6.6 s -> 0.17 s.
+Idempotent; each knob is independently a no-op where unavailable.
 """
 from __future__ import annotations
 
@@ -24,12 +32,26 @@ _M_TRIM_THRESHOLD = -1
 _M_MMAP_THRESHOLD = -3
 
 
+def _disable_numpy_hugepages() -> bool:
+    try:
+        try:
+            from numpy._core import multiarray as _ma  # numpy >= 2
+        except ImportError:  # pragma: no cover - numpy 1.x
+            from numpy.core import multiarray as _ma  # type: ignore
+        _ma._set_madvise_hugepage(False)
+        return True
+    except Exception:  # pragma: no cover - API moved / absent
+        return False
+
+
 def tune_allocator(threshold_bytes: int = 1 << 31) -> bool:
-    """Serve allocations below ``threshold_bytes`` from the persistent heap
-    and never trim it back.  Returns True if both mallopt calls succeeded."""
+    """Serve allocations below ``threshold_bytes`` from the persistent heap,
+    never trim it back, and stop numpy from requesting hugepages.  Returns
+    True if the glibc mallopt calls succeeded."""
     global _done
     if _done:
         return True
+    _disable_numpy_hugepages()
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
         ok = (libc.mallopt(_M_MMAP_THRESHOLD, threshold_bytes) == 1
