@@ -14,13 +14,19 @@ framework targets, *page faults dominate*, for two separate reasons:
 2. glibc serves every large numpy temporary via a fresh mmap and returns it
    on free, so each O(nnz) pass re-faults hundreds of MB even at the fast
    rate.
+3. numpy's madvise flag does not cover every THP path (measured: a full
+   pokec-scale pack still spent ~55 s first-touching its ~900 MB of output
+   with the flag off; ``prctl(PR_SET_THP_DISABLE)`` cut that to ~21 s).
+   With THP defrag in synchronous-on-madvise mode hugepages are a pure tax
+   here, so the process opts out wholesale.
 
-``tune_allocator()`` disables numpy's hugepage madvise and raises the glibc
-mmap and trim thresholds so large allocations come from the (persistent,
-already-faulted) heap and the high-water mark is reused across passes and
-packs.  Measured effect on this class of host: np.sort of 27M int64 drops
-19 s -> 1.9 s; first-touch of a fresh 316 MB buffer drops 6.6 s -> 0.17 s.
-Idempotent; each knob is independently a no-op where unavailable.
+``tune_allocator()`` disables numpy's hugepage madvise, disables THP for
+the whole process via prctl, and raises the glibc mmap and trim thresholds
+so large allocations come from the (persistent, already-faulted) heap and
+the high-water mark is reused across passes and packs.  Measured effect on
+this class of host: np.sort of 27M int64 drops 19 s -> 1.9 s; first-touch
+of a fresh 316 MB buffer drops 6.6 s -> 0.17 s.  Idempotent; each knob is
+independently a no-op where unavailable.
 """
 from __future__ import annotations
 
@@ -54,6 +60,11 @@ def tune_allocator(threshold_bytes: int = 1 << 31) -> bool:
     _disable_numpy_hugepages()
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        try:
+            _PR_SET_THP_DISABLE = 41
+            libc.prctl(_PR_SET_THP_DISABLE, 1, 0, 0, 0)
+        except Exception:  # pragma: no cover - non-Linux libc
+            pass
         ok = (libc.mallopt(_M_MMAP_THRESHOLD, threshold_bytes) == 1
               and libc.mallopt(_M_TRIM_THRESHOLD, threshold_bytes) == 1)
     except (OSError, AttributeError):
