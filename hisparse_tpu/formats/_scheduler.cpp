@@ -63,9 +63,29 @@ inline int32_t fruitless_cap() {
   // measured best (powerlaw fill 0.301 -> 0.315, mouse-gene 0.643 ->
   // 0.680; 512 adds nothing).  WP_FCAP overrides for perf experiments
   // ONLY — the Python twins hard-code the default, so a non-default
-  // value breaks byte-equality with them.
+  // value breaks byte-equality with them.  (Chain scheduler only; the
+  // block-major scheduler is wave-batched and needs no cap.)
   static int32_t v = -1;
   if (v < 0) { const char* e = getenv("WP_FCAP"); v = e ? atoi(e) : 256; }
+  return v;
+}
+// Rolling-window wave batching for the block-major scheduler.  A window
+// of BM_WIN in-flight tiles is scheduled per pending-list pass (per-lane /
+// per-bank wave bitmasks, first-fit into the lowest free wave), then the
+// window advances by BM_ADV tiles — so every tile gets BM_WIN/BM_ADV
+// dedicated passes while list traversals drop by ~BM_ADV vs the per-tile
+// walk (which measured 543M item visits for 27M placements).  Each tile's
+// K classes are fixed by pending row coverage when it enters the window.
+// Must match the Python twin.  WP_BMWIN / WP_BMADV override for perf
+// experiments ONLY (breaks twin equality).
+inline int32_t bm_win() {
+  static int32_t v = -1;
+  if (v < 0) { const char* e = getenv("WP_BMWIN"); v = e ? atoi(e) : 16; }
+  return v;
+}
+inline int32_t bm_adv() {
+  static int32_t v = -1;
+  if (v < 0) { const char* e = getenv("WP_BMADV"); v = e ? atoi(e) : 4; }
   return v;
 }
 }  // namespace
@@ -96,14 +116,15 @@ struct SchedOut {  // per-record schedule result, one cache touch to write
   int32_t bsel;     // local class index (bm); padded for alignment
 };
 
-struct Item {       // one (stripe, column); 20 bytes for cache density
+struct Item {       // one (stripe, column)
   int32_t head;     // first record (sorted order)
   uint16_t count;   // rows on distinct lanes (runs > 64K split at build)
   uint16_t remaining;
   uint16_t alive0;  // scan hint: first possibly-alive offset
   uint8_t b1, b2;   // gather lanes (primary / second choice)
   uint8_t c1, c2;   // x-block classes (block-major)
-  int32_t stamp;    // last wave id this item placed in (per segment)
+  int32_t stamp;    // bm: last walk serial this item was seen in
+  uint64_t stamp_mask;  // bm: window waves already placed in (this walk)
 };
 
 struct PlanState {
@@ -119,6 +140,11 @@ struct PlanState {
   // reusable scratch
   std::vector<Item> items;
   std::vector<std::vector<int32_t>> pend;    // bm: per (stripe, class)
+  // bm singleton fast path: per (stripe, class) packed entries
+  // rec_idx(32) | lam(8) | bank(8) | primary(8) | other_class(8)
+  // — scanned sequentially, no Item/Rec/chain indirection (82% of items
+  // on hub-heavy graphs are singletons)
+  std::vector<std::vector<uint64_t>> pend1;
   std::vector<int32_t> cnt_rlc;              // (R,128,CT) bm row coverage
   std::vector<int64_t> rows_cnt;             // (R,CT)
   std::vector<uint16_t> nxt;                 // per-record next-alive offset
@@ -330,38 +356,13 @@ void schedule_chain_segment(int64_t lo, int64_t hi) {
 // Twin: wavepack._schedule_block_major.
 // ---------------------------------------------------------------------------
 double bm_t_build = 0, bm_t_cover = 0, bm_t_pend = 0, bm_t_wave = 0;
+int64_t bm_visits = 0, bm_blocked = 0, bm_chain = 0, bm_placed = 0,
+        bm_passes = 0, bm_walks = 0;
 
 void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
                          int64_t t_base, int64_t& tiles_out) {
   const int32_t R = g.R, CT = g.CT, K = g.K, G = g.G, Rp = g.Rp, B = g.B;
   double tb0 = now_s();
-  // items: runs of (sigma, cls, bank, h) == (sigma, bank, a) in the
-  // pre-sorted record order
-  g.items.clear();
-  for (int64_t p = lo; p < hi;) {
-    const uint16_t sg = g.recs[p].sigma;
-    const uint8_t b = g.recs[p].bank; const uint16_t a = g.recs[p].a;
-    Item it{};
-    it.head = static_cast<int32_t>(p);
-    const int64_t cap = p + 65535;
-    while (p < hi && p < cap && g.recs[p].sigma == sg && g.recs[p].bank == b
-           && g.recs[p].a == a) {
-      g.nxt[p] = static_cast<uint16_t>(p - it.head + 1);
-      ++p;
-    }
-    it.count = static_cast<uint16_t>(p - it.head);
-    it.remaining = it.count;
-    it.alive0 = 0; it.stamp = -1;
-    it.b1 = b; it.c1 = static_cast<uint8_t>(a >> 7);
-    if (g.two_choice) {
-      it.c2 = static_cast<uint8_t>(B + a % B);
-      it.b2 = static_cast<uint8_t>((b + bank_shift(a % B)) % 128);
-    } else { it.c2 = it.c1; it.b2 = b; }
-    g.items.push_back(it);
-  }
-  const int32_t n_items = static_cast<int32_t>(g.items.size());
-  double tb1 = now_s(); bm_t_build += tb1 - tb0;
-
   // row-coverage counters for class scoring
   g.cnt_rlc.assign(static_cast<size_t>(R) * 128 * CT, 0);
   g.rows_cnt.assign(static_cast<size_t>(R) * CT, 0);
@@ -369,21 +370,69 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
     if (++g.cnt_rlc[(static_cast<size_t>(sg) * 128 + lm) * CT + c] == 1)
       ++g.rows_cnt[static_cast<size_t>(sg) * CT + c];
   };
-  for (const Item& it : g.items) {
-    const int32_t sg = g.recs[it.head].sigma;
-    for (int32_t o = 0; o < it.count; ++o) {
-      const int32_t lm = g.recs[it.head + o].lam;
-      cover_inc(sg, lm, it.c1);
-      if (it.c2 != it.c1) cover_inc(sg, lm, it.c2);
-    }
-  }
-
-  double tb2 = now_s(); bm_t_cover += tb2 - tb1;
-  // pending lists per (stripe, class): item indices, desc count stable.
-  // An item appears under c1 and (two-choice) under c2.
-  if (g.pend.size() < static_cast<size_t>(R) * CT)
+  if (g.pend.size() < static_cast<size_t>(R) * CT) {
     g.pend.resize(static_cast<size_t>(R) * CT);
-  for (size_t c = 0; c < static_cast<size_t>(R) * CT; ++c) g.pend[c].clear();
+    g.pend1.resize(static_cast<size_t>(R) * CT);
+  }
+  for (size_t c = 0; c < static_cast<size_t>(R) * CT; ++c) {
+    g.pend[c].clear();
+    g.pend1[c].clear();
+  }
+  // items: runs of (sigma, cls, bank, h) == (sigma, bank, a) in the
+  // pre-sorted record order.  Singletons (the large majority on
+  // hub-heavy graphs) go to the packed pend1 arrays; multi-row items to
+  // the Item machinery.
+  g.items.clear();
+  for (int64_t p = lo; p < hi;) {
+    const uint16_t sg = g.recs[p].sigma;
+    const uint8_t b = g.recs[p].bank; const uint16_t a = g.recs[p].a;
+    const int64_t head = p;
+    const int64_t cap = p + 65535;
+    while (p < hi && p < cap && g.recs[p].sigma == sg && g.recs[p].bank == b
+           && g.recs[p].a == a) {
+      g.nxt[p] = static_cast<uint16_t>(p - head + 1);
+      ++p;
+    }
+    const int32_t count = static_cast<int32_t>(p - head);
+    const uint8_t c1 = static_cast<uint8_t>(a >> 7);
+    uint8_t c2, b2;
+    if (g.two_choice) {
+      c2 = static_cast<uint8_t>(B + a % B);
+      b2 = static_cast<uint8_t>((b + bank_shift(a % B)) % 128);
+    } else { c2 = c1; b2 = b; }
+    if (count == 1) {
+      const uint8_t lm = g.recs[head].lam;
+      cover_inc(sg, lm, c1);
+      g.pend1[static_cast<size_t>(sg) * CT + c1].push_back(
+          (static_cast<uint64_t>(head) << 32)
+          | (static_cast<uint64_t>(lm) << 24)
+          | (static_cast<uint64_t>(b) << 16) | (1ull << 8) | c2);
+      if (c2 != c1) {
+        cover_inc(sg, lm, c2);
+        g.pend1[static_cast<size_t>(sg) * CT + c2].push_back(
+            (static_cast<uint64_t>(head) << 32)
+            | (static_cast<uint64_t>(lm) << 24)
+            | (static_cast<uint64_t>(b2) << 16) | (0ull << 8) | c1);
+      }
+      continue;
+    }
+    Item it{};
+    it.head = static_cast<int32_t>(head);
+    it.count = static_cast<uint16_t>(count);
+    it.remaining = it.count;
+    it.alive0 = 0; it.stamp = -1;
+    it.b1 = b; it.c1 = c1; it.c2 = c2; it.b2 = b2;
+    for (int32_t o = 0; o < count; ++o) {
+      const int32_t lm = g.recs[head + o].lam;
+      cover_inc(sg, lm, c1);
+      if (c2 != c1) cover_inc(sg, lm, c2);
+    }
+    g.items.push_back(it);
+  }
+  const int32_t n_items = static_cast<int32_t>(g.items.size());
+  double tb2 = now_s(); bm_t_build += tb2 - tb0;
+  // pending lists per (stripe, class): multi-item indices, desc count
+  // stable.  An item appears under c1 and (two-choice) under c2.
   for (int32_t q = 0; q < n_items; ++q) {
     const int32_t sg = g.recs[g.items[q].head].sigma;
     g.pend[static_cast<size_t>(sg) * CT + g.items[q].c1].push_back(q);
@@ -404,98 +453,269 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
   }
 
   double tb3 = now_s(); bm_t_pend += tb3 - tb2;
-  const int32_t FCAP = fruitless_cap();
-  int64_t remaining = hi - lo;
-  int64_t t_local = 0;
-  int32_t wave_id = 0;
+  // Rolling-window wave batching (see bm_win/bm_adv above).  Window slots
+  // 0..admitted-1 hold tiles t_win..t_win+admitted-1.  Per (group, u) the
+  // walk places items into any in-window wave via per-lane / per-bank
+  // uint64 wave masks that PERSIST across passes (shifted on advance), so
+  // every tile accumulates placements over BM_WIN/BM_ADV passes.  A
+  // tile's K classes per group are fixed when it is admitted.
+  const int32_t W = bm_win();
+  const int32_t ADV = std::max(1, std::min(bm_adv(), W));
+  const size_t n_walks = static_cast<size_t>(G) * 128;
+  static std::vector<uint64_t> lmask_all, bmask_all;
+  lmask_all.assign(n_walks * 128, 0);
+  bmask_all.assign(n_walks * 128, 0);
+  // per (g, slot, k): selected class; per (g, c): in-window slot bits;
+  // per (g, c, slot): the class's index within that tile's selection
+  static std::vector<int32_t> sel;
+  static std::vector<uint64_t> tilemask;
+  static std::vector<int8_t> bsel_tab;
+  sel.assign(static_cast<size_t>(G) * W * K, 0);
+  tilemask.assign(static_cast<size_t>(G) * CT, 0);
+  bsel_tab.assign(static_cast<size_t>(G) * CT * W, -1);
+  std::vector<int64_t> placed_w(W, 0);
   std::vector<int64_t> scores(CT);
   std::vector<int32_t> top(K);
+  std::vector<int32_t> corder;            // per-pass class walk order
+  std::vector<uint8_t> cseen(CT);
+  int64_t remaining = hi - lo;
+  int64_t t_win = 0;                      // absolute tile of slot 0
+  int64_t high = -1;                      // highest tile with a placement
+  int32_t admitted = 0;
+  int32_t walk_serial = 0;
+  int32_t zero_streak = 0;
+  const size_t cm_start = g.class_map.size();
   while (remaining > 0) {
-    int64_t placed_tile = 0;
+    // admit up to ADV fresh tiles, selecting their classes from current
+    // pending row coverage
+    const int32_t admit = std::min(ADV, W - admitted);
+    for (int32_t anew = 0; anew < admit; ++anew) {
+      const int32_t slot = admitted + anew;
+      for (int32_t grp = 0; grp < G; ++grp) {
+        const int32_t gmod = grp % Rp;
+        for (int32_t c = 0; c < CT; ++c) {
+          int64_t sc = 0;
+          const int64_t* rc = g.rows_cnt.data()
+                              + static_cast<size_t>(gmod) * 128 * CT + c;
+          for (int32_t u = 0; u < 128; ++u)
+            sc += rc[static_cast<size_t>(u) * CT];
+          scores[c] = sc;
+        }
+        for (int32_t kk = 0; kk < K; ++kk) {   // stable top-K (ties: low c)
+          int32_t best = -1; int64_t bv = -1;
+          for (int32_t c = 0; c < CT; ++c) {
+            bool taken = false;
+            for (int32_t q2 = 0; q2 < kk; ++q2) if (top[q2] == c) taken = true;
+            if (!taken && scores[c] > bv) { bv = scores[c]; best = c; }
+          }
+          if (best < 0) best = 0;              // K > CT degenerate configs
+          top[kk] = best;
+          sel[(static_cast<size_t>(grp) * W + slot) * K + kk] = best;
+          tilemask[static_cast<size_t>(grp) * CT + best] |= 1ull << slot;
+          bsel_tab[(static_cast<size_t>(grp) * CT + best) * W + slot] =
+              static_cast<int8_t>(kk);
+        }
+      }
+    }
+    admitted += admit;
+    // one pass over every (group, u) walk
+    ++bm_passes;
+    int64_t pass_placed = 0;
     for (int32_t grp = 0; grp < G; ++grp) {
       const int32_t gmod = grp % Rp;
-      for (int32_t c = 0; c < CT; ++c) {
-        int64_t sc = 0;
-        const int64_t* rc = g.rows_cnt.data()
-                            + static_cast<size_t>(gmod) * 128 * CT + c;
-        for (int32_t u = 0; u < 128; ++u) sc += rc[static_cast<size_t>(u) * CT];
-        scores[c] = sc;
-      }
-      for (int32_t kk = 0; kk < K; ++kk) {     // stable top-K (ties: low c)
-        int32_t best = -1; int64_t bv = -1;
-        for (int32_t c = 0; c < CT; ++c) {
-          bool taken = false;
-          for (int32_t q2 = 0; q2 < kk; ++q2) if (top[q2] == c) taken = true;
-          if (!taken && scores[c] > bv) { bv = scores[c]; best = c; }
+      // class walk order: slot-major over the window's selections
+      corder.clear();
+      std::fill(cseen.begin(), cseen.end(), 0);
+      for (int32_t w = 0; w < admitted; ++w)
+        for (int32_t kk = 0; kk < K; ++kk) {
+          const int32_t c = sel[(static_cast<size_t>(grp) * W + w) * K + kk];
+          if (!cseen[c]) { cseen[c] = 1; corder.push_back(c); }
         }
-        if (best < 0) best = 0;                // K > CT degenerate configs
-        top[kk] = best;
-        g.class_map.push_back(best);
-      }
-      if (scores[top[0]] == 0) continue;
+      const uint64_t* tmg = tilemask.data() + static_cast<size_t>(grp) * CT;
       for (int32_t u = 0; u < 128; ++u) {
         const int32_t sg = gmod * 128 + u;
         const int64_t s_glob = static_cast<int64_t>(grp) * 128 + u;
-        ++wave_id;
-        bool used_rows[128] = {false};
-        bool used_banks[128] = {false};
-        int32_t rows_used = 0, banks_used = 0;
-        for (int32_t ci = 0; ci < K; ++ci) {
-          const int32_t c = top[ci];
+        ++walk_serial;
+        uint64_t* lane_mask =
+            lmask_all.data() + (static_cast<size_t>(grp) * 128 + u) * 128;
+        uint64_t* bank_mask =
+            bmask_all.data() + (static_cast<size_t>(grp) * 128 + u) * 128;
+        for (const int32_t c : corder) {
           auto& lst = g.pend[static_cast<size_t>(sg) * CT + c];
-          size_t ii = 0;
+          auto& sgl = g.pend1[static_cast<size_t>(sg) * CT + c];
+          if (lst.empty() && sgl.empty()) continue;
+          const uint64_t tm = tmg[c];
+          if (!tm) continue;
+          const int8_t* bsl =
+              bsel_tab.data() + (static_cast<size_t>(grp) * CT + c) * W;
+          const int32_t FCAP = fruitless_cap();
           int32_t fruitless = 0;
+          size_t ii = 0;
           while (ii < lst.size()) {
-            if (rows_used == 128 || banks_used == 128 || fruitless >= FCAP)
-              break;
+            if (fruitless >= FCAP) break;
+            ++bm_visits;
             Item& it = g.items[lst[ii]];
             if (it.remaining == 0) {           // drained: swap-remove
               lst[ii] = lst.back();
               lst.pop_back();
               continue;                         // revisit slot ii
             }
-            if (it.stamp == wave_id) { ++ii; ++fruitless; continue; }
+            if (it.stamp != walk_serial) {     // lazy per-walk stamp reset
+              it.stamp = walk_serial;
+              it.stamp_mask = 0;
+            }
             const bool is_primary = (it.c1 == c);
             const int32_t lane = is_primary ? it.b1 : it.b2;
-            if (used_banks[lane]) { ++ii; ++fruitless; continue; }
+            // waves this item may still use: class selected in the tile,
+            // bank free, not already placed into by this item this walk
+            // (one column per (wave, bank) — the emission invariant)
+            const uint64_t avail = tm & ~bank_mask[lane] & ~it.stamp_mask;
+            if (!avail) { ++ii; ++fruitless; ++bm_blocked; continue; }
             const int32_t c1 = it.c1, c2 = it.c2;
-            const int32_t pl = place_rows(it, used_rows, [&](int32_t idx) {
+            uint64_t placed_mask = 0;
+            int32_t placed = 0, prev = -1;
+            const int32_t cnt = it.count;
+            int32_t o = it.alive0;
+            while (o < cnt) {
+              ++bm_chain;
+              const int32_t idx = it.head + o;
+              const int32_t nx = g.nxt[idx];
+              const int32_t lm = g.recs[idx].lam;
+              const uint64_t cand = avail & ~lane_mask[lm];
+              if (!cand) { prev = o; o = nx; continue; }
+              const int32_t w = __builtin_ctzll(cand);
+              lane_mask[lm] |= 1ull << w;
               SchedOut& so = g.out[idx];
-              so.t = static_cast<int32_t>(t_base + t_local);
+              so.t = static_cast<int32_t>(t_base + t_win + w);
               so.s = static_cast<int16_t>(s_glob);
               so.lane = static_cast<uint8_t>(lane);
-              so.bsel = ci;
+              so.bsel = bsl[w];
               so.flags = static_cast<uint8_t>(is_primary ? 1 : 3);
-              const int32_t lm = g.recs[idx].lam;
               const size_t rbase = (static_cast<size_t>(sg) * 128 + lm) * CT;
               if (--g.cnt_rlc[rbase + c1] == 0)
                 --g.rows_cnt[static_cast<size_t>(sg) * CT + c1];
               if (c2 != c1 && --g.cnt_rlc[rbase + c2] == 0)
                 --g.rows_cnt[static_cast<size_t>(sg) * CT + c2];
-            });
-            if (pl > 0) {
-              // same emission invariant as the chain path: a used bank
-              // pins this wave's gather lane to one item's column
-              used_banks[lane] = true;
-              ++banks_used;
-              rows_used += pl;
-              placed_tile += pl;
-              remaining -= pl;
-              it.stamp = wave_id;
+              placed_mask |= 1ull << w;
+              ++placed_w[w];
+              if (t_win + w > high) high = t_win + w;
+              ++placed;
+              if (prev < 0) it.alive0 = static_cast<uint16_t>(nx);
+              else g.nxt[it.head + prev] = static_cast<uint16_t>(nx);
+              o = nx;
+            }
+            if (placed) {
+              bank_mask[lane] |= placed_mask;
+              it.stamp_mask |= placed_mask;
+              it.remaining = static_cast<uint16_t>(it.remaining - placed);
+              remaining -= placed;
+              pass_placed += placed;
               fruitless = 0;
             } else {
               ++fruitless;
             }
             ++ii;
           }
+          // singleton sub-walk: sequential scan of packed entries (no
+          // Item/chain state; a single placed via its other class list
+          // is detected by its output placed flag and swap-removed)
+          size_t jj = 0;
+          while (jj < sgl.size()) {
+            if (fruitless >= FCAP) break;
+            const uint64_t e = sgl[jj];
+            const int32_t idx = static_cast<int32_t>(e >> 32);
+            if (g.out[idx].flags & 1) {        // placed elsewhere: remove
+              sgl[jj] = sgl.back();
+              sgl.pop_back();
+              continue;                         // revisit slot jj
+            }
+            const int32_t lm = static_cast<int32_t>((e >> 24) & 0xFF);
+            const int32_t lane = static_cast<int32_t>((e >> 16) & 0xFF);
+            const uint64_t cand = tm & ~bank_mask[lane] & ~lane_mask[lm];
+            if (!cand) { ++jj; ++fruitless; continue; }
+            const int32_t w = __builtin_ctzll(cand);
+            const int32_t primary = static_cast<int32_t>((e >> 8) & 1);
+            const int32_t c_oth = static_cast<int32_t>(e & 0xFF);
+            const int32_t c1 = primary ? c : c_oth;
+            const int32_t c2 = primary ? c_oth : c;
+            lane_mask[lm] |= 1ull << w;
+            bank_mask[lane] |= 1ull << w;
+            SchedOut& so = g.out[idx];
+            so.t = static_cast<int32_t>(t_base + t_win + w);
+            so.s = static_cast<int16_t>(s_glob);
+            so.lane = static_cast<uint8_t>(lane);
+            so.bsel = bsl[w];
+            so.flags = static_cast<uint8_t>(primary ? 1 : 3);
+            const size_t rbase = (static_cast<size_t>(sg) * 128 + lm) * CT;
+            if (--g.cnt_rlc[rbase + c1] == 0)
+              --g.rows_cnt[static_cast<size_t>(sg) * CT + c1];
+            if (c2 != c1 && --g.cnt_rlc[rbase + c2] == 0)
+              --g.rows_cnt[static_cast<size_t>(sg) * CT + c2];
+            ++placed_w[w];
+            if (t_win + w > high) high = t_win + w;
+            --remaining;
+            ++pass_placed;
+            fruitless = 0;
+            sgl[jj] = sgl.back();               // placed: swap-remove
+            sgl.pop_back();
+          }
         }
       }
     }
-    ++t_local;
-    if (min_tile > 0 && placed_tile < min_tile) break;
+    if (remaining == 0) break;
+    if (pass_placed == 0) {
+      // defensive: once the whole window has been re-selected with no
+      // placement, nothing pending can ever place (invalid geometry)
+      if (++zero_streak > W / ADV + 1) break;
+    } else {
+      zero_streak = 0;
+    }
+    if (admitted == W) {
+      // retire the ADV oldest tiles: emit their class_map rows, shift
+      // the window state down
+      int64_t retired_placed = 0;
+      for (int32_t wr = 0; wr < ADV; ++wr) {
+        retired_placed += placed_w[wr];
+        for (int32_t grp = 0; grp < G; ++grp)
+          for (int32_t kk = 0; kk < K; ++kk)
+            g.class_map.push_back(
+                sel[(static_cast<size_t>(grp) * W + wr) * K + kk]);
+      }
+      for (size_t e = 0; e < lmask_all.size(); ++e) lmask_all[e] >>= ADV;
+      for (size_t e = 0; e < bmask_all.size(); ++e) bmask_all[e] >>= ADV;
+      for (size_t e = 0; e < tilemask.size(); ++e) tilemask[e] >>= ADV;
+      for (int32_t grp = 0; grp < G; ++grp) {
+        for (int32_t w = 0; w < W - ADV; ++w)
+          for (int32_t kk = 0; kk < K; ++kk)
+            sel[(static_cast<size_t>(grp) * W + w) * K + kk] =
+                sel[(static_cast<size_t>(grp) * W + w + ADV) * K + kk];
+        for (int32_t c = 0; c < CT; ++c) {
+          int8_t* bsl =
+              bsel_tab.data() + (static_cast<size_t>(grp) * CT + c) * W;
+          for (int32_t w = 0; w < W - ADV; ++w) bsl[w] = bsl[w + ADV];
+          for (int32_t w = W - ADV; w < W; ++w) bsl[w] = -1;
+        }
+      }
+      for (int32_t w = 0; w < W - ADV; ++w) placed_w[w] = placed_w[w + ADV];
+      for (int32_t w = W - ADV; w < W; ++w) placed_w[w] = 0;
+      admitted -= ADV;
+      t_win += ADV;
+      if (min_tile > 0 && retired_placed < min_tile * ADV) break;
+    }
   }
+  // flush class_map rows for in-window tiles that received placements,
+  // then trim to exactly T_seg rows (retired-empty trailing tiles)
+  const int64_t T_seg = high + 1;
+  for (int64_t tt = t_win; tt < T_seg; ++tt) {
+    const int32_t slot = static_cast<int32_t>(tt - t_win);
+    for (int32_t grp = 0; grp < G; ++grp)
+      for (int32_t kk = 0; kk < K; ++kk)
+        g.class_map.push_back(
+            sel[(static_cast<size_t>(grp) * W + slot) * K + kk]);
+  }
+  g.class_map.resize(cm_start + static_cast<size_t>(T_seg) * G * K, 0);
   bm_t_wave += now_s() - tb3;
-  tiles_out = t_local;
+  tiles_out = T_seg;
 }
 
 }  // namespace
@@ -627,7 +847,12 @@ int64_t wp_plan(
             " (bm: items %.2f cover %.2f pend %.2f wave %.2f)\n",
             tp1 - tp0, tp2 - tp1, now_s() - tp2,
             bm_t_build, bm_t_cover, bm_t_pend, bm_t_wave);
+    fprintf(stderr, "bm counters: passes %ld visits %ld blocked %ld"
+            " chain %ld nnz %ld\n",
+            (long)bm_passes, (long)bm_visits, (long)bm_blocked,
+            (long)bm_chain, (long)g.nnz);
     bm_t_build = bm_t_cover = bm_t_pend = bm_t_wave = 0;
+    bm_visits = bm_blocked = bm_chain = bm_passes = 0;
   }
   int64_t nleft = 0;
   if (block_major) {

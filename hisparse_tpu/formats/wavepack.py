@@ -59,6 +59,13 @@ import numpy as np
 from ..config import LANES, SpmvConfig
 from .csr import CSRMatrix, argsort_rows_by_nnz
 
+# Rolling window for the block-major scheduler: BM_WIN in-flight tiles
+# per pending-list pass, advancing BM_ADV tiles per pass (every tile gets
+# BM_WIN/BM_ADV dedicated passes).  Must match the C++ twin's bm_win /
+# bm_adv in _scheduler.cpp.
+BM_WIN = 16
+BM_ADV = 4
+
 
 def bank_shift(b: int):
     """Per-block lane rotation of the second-choice x copy (two-choice
@@ -777,7 +784,11 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
     key = (((sigma.astype(np.int64) * (int(cls.max()) + 1 if n else 1)
              + cls) * 128 + bank) * 128 + h)
     order = np.argsort(key, kind="stable")
-    pend = {}        # (sigma, class) -> list of ents, desc by count
+    pend = {}        # (sigma, class) -> multi-item ents, desc by count
+    # (sigma, class) -> singleton entries [nz, lam, bank, primary, c_other]
+    # (C++ twin packs these into one uint64 each); the large singleton
+    # majority on hub-heavy graphs is scanned without item machinery
+    pend1 = {}
     # per (stripe, row lane, class): pending nonzeros reachable via that
     # class (primary or secondary); rows_cnt counts rows with any
     cnt_rlc = np.zeros((R, LANES, CT), np.int32)
@@ -799,8 +810,18 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
             if c2 != c1:
                 cnt_rlc[sg, lam[nz], c2] += 1
         total += len(q)
+        if len(q) == 1:
+            nz = q[0]
+            lm = int(lam[nz])
+            pend1.setdefault((sg, c1), []).append([nz, lm, b1, 1, c2])
+            if c2 != c1:
+                pend1.setdefault((sg, c2), []).append(
+                    [nz, lm, int(bank2[nz0]), 0, c1])
+            i = j
+            continue
         q.reverse()
-        ent = [len(q), b1, int(bank2[nz0]), c1, c2, q, -1]
+        # ent: [count, b1, b2, c1, c2, rows, stamp_serial, stamp_mask]
+        ent = [len(q), b1, int(bank2[nz0]), c1, c2, q, -1, 0]
         pend.setdefault((sg, c1), []).append(ent)
         if c2 != c1:
             pend.setdefault((sg, c2), []).append(ent)
@@ -810,71 +831,110 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
     for lst in pend.values():
         lst.sort(key=lambda e: -e[0])
 
+    # Rolling-window wave batching (C++ twin:
+    # _scheduler.cpp::schedule_bm_segment).  Window slots 0..admitted-1
+    # hold tiles t_win..t_win+admitted-1; per (group, u) the walk places
+    # items into any in-window wave via per-lane / per-bank wave bitmasks
+    # that PERSIST across passes (shifted right on advance), so every tile
+    # accumulates placements over BM_WIN/BM_ADV dedicated passes while
+    # list traversals drop by ~BM_ADV vs a per-tile walk.  Each tile's K
+    # classes per group are fixed by pending row coverage at admission.
+    W, ADV = BM_WIN, BM_ADV
+    lmask = [[0] * LANES for _ in range(G * 128)]   # per (g,u) walk
+    bmask = [[0] * LANES for _ in range(G * 128)]
+    sel = np.zeros((G, W, K), np.int32)             # class per (g,slot,k)
+    tilemask = [[0] * CT for _ in range(G)]         # slot bits per (g,c)
+    bsel_tab = np.full((G, CT, W), -1, np.int8)     # k of c in slot's sel
+    placed_w = [0] * W
     class_map = []
-    t = 0
-    wave_id = 0
+    t_win = 0
+    high = -1
+    admitted = 0
+    walk_serial = 0
+    zero_streak = 0
     min_tile = int(stop_frac * S * LANES)
     while total > 0:
-        placed_tile = 0
-        cm_row = np.zeros((G, K), np.int32)
+        admit = min(ADV, W - admitted)
+        for anew in range(admit):
+            slot = admitted + anew
+            for g in range(G):
+                gmod = g % Rp
+                scores = rows_cnt[gmod * 128:gmod * 128 + 128].sum(axis=0)
+                top = np.argsort(-scores, kind="stable")[:K]
+                for kk in range(K):
+                    c = int(top[kk])
+                    sel[g, slot, kk] = c
+                    tilemask[g][c] |= 1 << slot
+                    bsel_tab[g, c, slot] = kk
+        admitted += admit
+        pass_placed = 0
         for g in range(G):
             gmod = g % Rp
-            # score = rows that could place via each class (row coverage)
-            scores = rows_cnt[gmod * 128:gmod * 128 + 128].sum(axis=0)
-            top = np.argsort(-scores, kind="stable")[:K].astype(np.int32)
-            cm_row[g] = top
-            if scores[top[0]] == 0:
-                continue
+            # class walk order: slot-major over the window's selections
+            corder = []
+            cseen = bytearray(CT)
+            for w in range(admitted):
+                for kk in range(K):
+                    c = int(sel[g, w, kk])
+                    if not cseen[c]:
+                        cseen[c] = 1
+                        corder.append(c)
             for u in range(128):
                 sg = gmod * 128 + u
                 s_glob = g * 128 + u
-                wave_id += 1
-                placed_rows = 0
-                banks_used = 0
-                used_banks = bytearray(LANES)
-                used_rows = bytearray(LANES)
-                for ci in range(K):
-                    c = int(top[ci])
-                    # cursor walk with lazy swap-removal of drained items
-                    # and a fruitless-streak cap (C++ twin in
-                    # _scheduler.cpp::schedule_bm_segment) — O(visited) per
-                    # wave, no list rebuild
+                walk_serial += 1
+                lane_mask = lmask[g * 128 + u]
+                bank_mask = bmask[g * 128 + u]
+                for c in corder:
                     lst = pend.get((sg, c), ())
+                    sgl = pend1.get((sg, c), ())
+                    if not lst and not sgl:
+                        continue
+                    tm = tilemask[g][c]
+                    if not tm:
+                        continue
                     ii = 0
                     fruitless = 0
                     while ii < len(lst):
-                        if (placed_rows == LANES or banks_used == LANES
-                                or fruitless >= 256):
+                        if fruitless >= 256:
                             break
                         ent = lst[ii]
                         if ent[0] == 0:          # drained: swap-remove
                             lst[ii] = lst[-1]
                             lst.pop()
                             continue             # revisit slot ii
-                        if ent[6] == wave_id:
-                            ii += 1
-                            fruitless += 1
-                            continue
-                        cnt, j1, j2, c1, c2, q, stamp = ent
+                        if ent[6] != walk_serial:  # lazy stamp reset
+                            ent[6] = walk_serial
+                            ent[7] = 0
+                        c1, c2 = ent[3], ent[4]
                         is_primary = (c1 == c)
-                        lane = j1 if is_primary else j2
-                        if used_banks[lane]:
+                        lane = ent[1] if is_primary else ent[2]
+                        # waves this item may still use: class selected in
+                        # the tile, bank free, not already placed into by
+                        # this item this walk (one column per (wave, bank)
+                        # — the emission invariant)
+                        avail = tm & ~bank_mask[lane] & ~ent[7]
+                        if not avail:
                             ii += 1
                             fruitless += 1
                             continue
+                        q = ent[5]
                         placed = 0
+                        placed_mask = 0
                         kept_nz = []
                         while q:
                             nz = q.pop()
                             lm = int(lam[nz])
-                            if used_rows[lm]:
+                            cand = avail & ~lane_mask[lm]
+                            if not cand:
                                 kept_nz.append(nz)
                                 continue
-                            used_rows[lm] = 1
-                            t_of[nz] = t
+                            w = (cand & -cand).bit_length() - 1
+                            lane_mask[lm] |= 1 << w
+                            t_of[nz] = t_win + w
                             s_of[nz] = s_glob
                             lane_of[nz] = lane
-                            bsel_of[nz] = ci
+                            bsel_of[nz] = int(bsel_tab[g, c, w])
                             choice_of[nz] = 0 if is_primary else 1
                             cnt_rlc[sg, lm, c1] -= 1
                             if cnt_rlc[sg, lm, c1] == 0:
@@ -883,25 +943,103 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
                                 cnt_rlc[sg, lm, c2] -= 1
                                 if cnt_rlc[sg, lm, c2] == 0:
                                     rows_cnt[sg, c2] -= 1
+                            placed_mask |= 1 << w
+                            placed_w[w] += 1
+                            if t_win + w > high:
+                                high = t_win + w
                             placed += 1
                         kept_nz.reverse()
                         q.extend(kept_nz)
                         if placed:
-                            used_banks[lane] = 1
-                            banks_used += 1
-                            placed_rows += placed
-                            placed_tile += placed
+                            bank_mask[lane] |= placed_mask
+                            ent[7] |= placed_mask
                             ent[0] = len(q)
-                            ent[6] = wave_id
+                            pass_placed += placed
                             total -= placed
                             fruitless = 0
                         else:
                             fruitless += 1
                         ii += 1
-        class_map.append(cm_row)
-        t += 1
-        if min_tile and placed_tile < min_tile:
+                    # singleton sub-walk (C++ twin: sequential packed
+                    # scan); a single placed via its other class list is
+                    # detected by t_of and swap-removed
+                    jj = 0
+                    while jj < len(sgl):
+                        if fruitless >= 256:
+                            break
+                        nz, lm, lane, primary, c_oth = sgl[jj]
+                        if t_of[nz] >= 0:        # placed elsewhere: remove
+                            sgl[jj] = sgl[-1]
+                            sgl.pop()
+                            continue             # revisit slot jj
+                        cand = tm & ~bank_mask[lane] & ~lane_mask[lm]
+                        if not cand:
+                            jj += 1
+                            fruitless += 1
+                            continue
+                        w = (cand & -cand).bit_length() - 1
+                        c1 = c if primary else c_oth
+                        c2 = c_oth if primary else c
+                        lane_mask[lm] |= 1 << w
+                        bank_mask[lane] |= 1 << w
+                        t_of[nz] = t_win + w
+                        s_of[nz] = s_glob
+                        lane_of[nz] = lane
+                        bsel_of[nz] = int(bsel_tab[g, c, w])
+                        choice_of[nz] = 0 if primary else 1
+                        cnt_rlc[sg, lm, c1] -= 1
+                        if cnt_rlc[sg, lm, c1] == 0:
+                            rows_cnt[sg, c1] -= 1
+                        if c2 != c1:
+                            cnt_rlc[sg, lm, c2] -= 1
+                            if cnt_rlc[sg, lm, c2] == 0:
+                                rows_cnt[sg, c2] -= 1
+                        placed_w[w] += 1
+                        if t_win + w > high:
+                            high = t_win + w
+                        pass_placed += 1
+                        total -= 1
+                        fruitless = 0
+                        sgl[jj] = sgl[-1]        # placed: swap-remove
+                        sgl.pop()
+        if total == 0:
             break
+        if pass_placed == 0:
+            # defensive: once the whole window has been re-selected with
+            # no placement, nothing pending can ever place
+            zero_streak += 1
+            if zero_streak > W // ADV + 1:
+                break
+        else:
+            zero_streak = 0
+        if admitted == W:
+            # retire the ADV oldest tiles: emit class_map rows, shift the
+            # window state down
+            retired_placed = sum(placed_w[:ADV])
+            for wr in range(ADV):
+                class_map.append(sel[:, wr, :].copy())
+            for masks in (lmask, bmask):
+                for row in masks:
+                    for e in range(LANES):
+                        row[e] >>= ADV
+            for g in range(G):
+                for c in range(CT):
+                    tilemask[g][c] >>= ADV
+            sel[:, :W - ADV, :] = sel[:, ADV:, :]
+            bsel_tab[:, :, :W - ADV] = bsel_tab[:, :, ADV:]
+            bsel_tab[:, :, W - ADV:] = -1
+            placed_w = placed_w[ADV:] + [0] * ADV
+            admitted -= ADV
+            t_win += ADV
+            if min_tile and retired_placed < min_tile * ADV:
+                break
+    # flush class_map rows for in-window tiles that received placements,
+    # then trim to exactly T_seg rows
+    T_seg = high + 1
+    for tt in range(t_win, T_seg):
+        class_map.append(sel[:, tt - t_win, :].copy())
+    class_map = class_map[:T_seg]
+    t = T_seg
     if not class_map:
         class_map.append(np.zeros((G, K), np.int32))
         t = 1
