@@ -105,12 +105,13 @@ def _tune_cache_load():
         return {}
 
 
-def _tune_cache_store(key, cfg, split, co, ro=None):
+def _tune_cache_store(key, cfg, split, co, ro=None, bm_win=None,
+                      bm_adv=None):
     d = _tune_cache_load()
     import dataclasses as _dc
     d[key] = {"cfg": _dc.asdict(cfg), "split": split,
               "col_order": co if isinstance(co, (str, type(None))) else None,
-              "row_order": ro}
+              "row_order": ro, "bm_win": bm_win, "bm_adv": bm_adv}
     with open(TUNE_CACHE_PATH, "w") as f:
         json.dump(d, f, indent=1, sort_keys=True)
 
@@ -139,10 +140,12 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
     ckey = f"{name}:{m.num_rows}x{m.num_cols}:{m.nnz}:{dtype}"
     cached = None if retune else _tune_cache_load().get(ckey)
     ro = None
+    bw = ba = None
     if cached is not None:
         cfg = SpmvConfig(**cached["cfg"])
         split, co = cached["split"], cached["col_order"]
         ro = cached.get("row_order")
+        bw, ba = cached.get("bm_win"), cached.get("bm_adv")
     elif density >= 0.05:
         # dense-rows regime: the DSE answer is known (many slots per row);
         # skip the per-config packs, they dominate preprocessing
@@ -263,6 +266,23 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
                 if g > best[0]:
                     best = (g, cfg_c, sm)
         _, cfg, split = best
+    if cfg.block_major and (cached is None or bw is None):
+        # scheduler-window ladder on the chosen design point: the rolling
+        # window trades pack speed for fill, and the best point is
+        # matrix-dependent (spread-column graphs want the adaptive (1,1);
+        # dense-fill regimes want a deep window) — full packs, judged by
+        # modeled GOPS; near-ties (<0.5%) keep the earliest candidate
+        from hisparse_tpu.models.perf_model import estimate as _est
+        wbest = None
+        for bw_c, ba_c in ((1, 1), (16, 4), (64, 2)):
+            tw = time.perf_counter()
+            wp_c = pack(m, cfg, split_max=split, col_order=co, row_order=ro,
+                        bm_win=bw_c, bm_adv=ba_c)
+            g = _est(m, cfg, wp_c).gops
+            dtw = time.perf_counter() - tw
+            if wbest is None or g > wbest[0] * 1.005:
+                wbest = (g, bw_c, ba_c, dtw)
+        _, bw, ba, _ = wbest
     if dtype == "fixed":
         import dataclasses as _dc
         cfg = _dc.replace(cfg, dtype="fixed", steal_mantissa=False)
@@ -276,7 +296,8 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
     # baked into the bitstream; auto-tuning has no analog there and is a
     # one-time per-matrix cost, reported separately in the tag)
     t1 = time.perf_counter()
-    wp = pack(m, cfg, split_max=split, col_order=co, row_order=ro)
+    wp = pack(m, cfg, split_max=split, col_order=co, row_order=ro,
+              bm_win=bw, bm_adv=ba)
     pre = time.perf_counter() - t1
     op = SpmvOperator(wp, interpret=not on_tpu)
     x = np.random.default_rng(0).random(m.num_cols).astype(np.float32)
@@ -294,8 +315,9 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
         ok = err < 1e-4
     # persist the tuned point only once the config verified good, so a BAD
     # design point is never silently reused from the cache
-    if cached is None and ok:
-        _tune_cache_store(ckey, cfg, split, co, ro)
+    if ok and (cached is None or (cfg.block_major
+                                   and cached.get("bm_win") is None)):
+        _tune_cache_store(ckey, cfg, split, co, ro, bw, ba)
     met = measure_spmv(name, op, x, m.nnz, wp.stream_bytes,
                        preproc_s=pre, fill=wp.fill)
     tag = (f"cfg S={cfg.sublanes} B={cfg.bank_blocks} R={cfg.stripes} "

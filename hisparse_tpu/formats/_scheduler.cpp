@@ -70,24 +70,15 @@ inline int32_t fruitless_cap() {
   return v;
 }
 // Rolling-window wave batching for the block-major scheduler.  A window
-// of BM_WIN in-flight tiles is scheduled per pending-list pass (per-lane /
+// of bm_win in-flight tiles is scheduled per pending-list pass (per-lane /
 // per-bank wave bitmasks, first-fit into the lowest free wave), then the
-// window advances by BM_ADV tiles — so every tile gets BM_WIN/BM_ADV
-// dedicated passes while list traversals drop by ~BM_ADV vs the per-tile
+// window advances by bm_adv tiles — so every tile gets bm_win/bm_adv
+// dedicated passes while list traversals drop by ~bm_adv vs the per-tile
 // walk (which measured 543M item visits for 27M placements).  Each tile's
 // K classes are fixed by pending row coverage when it enters the window.
-// Must match the Python twin.  WP_BMWIN / WP_BMADV override for perf
-// experiments ONLY (breaks twin equality).
-inline int32_t bm_win() {
-  static int32_t v = -1;
-  if (v < 0) { const char* e = getenv("WP_BMWIN"); v = e ? atoi(e) : 16; }
-  return v;
-}
-inline int32_t bm_adv() {
-  static int32_t v = -1;
-  if (v < 0) { const char* e = getenv("WP_BMADV"); v = e ? atoi(e) : 4; }
-  return v;
-}
+// Both are wp_plan arguments (a tuned, per-matrix speed/fill tradeoff);
+// Python resolves the same values and passes them to its twin, so the
+// twins stay byte-equal by construction.
 }  // namespace
 
 namespace {
@@ -360,6 +351,7 @@ int64_t bm_visits = 0, bm_blocked = 0, bm_chain = 0, bm_placed = 0,
         bm_passes = 0, bm_walks = 0;
 
 void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
+                         int32_t bm_win, int32_t bm_adv,
                          int64_t t_base, int64_t& tiles_out) {
   const int32_t R = g.R, CT = g.CT, K = g.K, G = g.G, Rp = g.Rp, B = g.B;
   double tb0 = now_s();
@@ -459,8 +451,8 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
   // uint64 wave masks that PERSIST across passes (shifted on advance), so
   // every tile accumulates placements over BM_WIN/BM_ADV passes.  A
   // tile's K classes per group are fixed when it is admitted.
-  const int32_t W = bm_win();
-  const int32_t ADV = std::max(1, std::min(bm_adv(), W));
+  const int32_t W = std::max(1, std::min(bm_win, 64));  // uint64 wave masks
+  const int32_t ADV = std::max(1, std::min(bm_adv, W));
   const size_t n_walks = static_cast<size_t>(G) * 128;
   static std::vector<uint64_t> lmask_all, bmask_all;
   lmask_all.assign(n_walks * 128, 0);
@@ -730,6 +722,7 @@ int64_t wp_plan(
     const int64_t* rank, const int64_t* col_rank,
     int32_t n_blocks, int32_t n_parts, int32_t R, int32_t S, int32_t B,
     int32_t two_choice, int32_t block_major, int32_t K,
+    int32_t bm_win, int32_t bm_adv,
     int64_t min_tile, int64_t* out_T, int64_t* out_nleft,
     int64_t* out_opt_waves);
 
@@ -747,6 +740,7 @@ int64_t wp_plan(
     const int64_t* rank, const int64_t* col_rank,
     int32_t n_blocks, int32_t n_parts, int32_t R, int32_t S, int32_t B,
     int32_t two_choice, int32_t block_major, int32_t K,
+    int32_t bm_win, int32_t bm_adv,
     int64_t min_tile, int64_t* out_T, int64_t* out_nleft,
     int64_t* out_opt_waves) {
   g.R = R; g.S = S; g.B = B; g.K = K; g.G = S / 128; g.Rp = R / 128;
@@ -822,7 +816,7 @@ int64_t wp_plan(
     g.opt_waves += segment_opt_waves(lo, hi);
     if (block_major) {
       int64_t tiles = 0;
-      schedule_bm_segment(lo, hi, min_tile, t_base, tiles);
+      schedule_bm_segment(lo, hi, min_tile, bm_win, bm_adv, t_base, tiles);
       g.seg_tiles[s] = tiles;
       t_base += tiles;
     } else {

@@ -49,6 +49,7 @@ def _load():
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int64, _i64p, _i64p, _i64p]
             lib.wp_plan.restype = ctypes.c_int64
             lib.wp_emit_full.argtypes = [
@@ -70,7 +71,8 @@ def _ptr(a, ptype):
 
 
 def pack_full(indptr, indices, data, rank, col_rank, cfg,
-              n_blocks: int, n_parts: int, min_tile: int = 0):
+              n_blocks: int, n_parts: int, min_tile: int = 0,
+              bm_win: int = 16, bm_adv: int = 4):
     """Run the fused native pack.  Returns a dict of output arrays
     (vals, idxT, tile metadata, class_map, leftover) or None if the
     native library is unavailable.
@@ -112,6 +114,7 @@ def pack_full(indptr, indices, data, rank, col_rank, cfg,
         ctypes.c_int32(int(cfg.two_choice)),
         ctypes.c_int32(int(cfg.block_major)),
         ctypes.c_int32(cfg.classes_per_group),
+        ctypes.c_int32(bm_win), ctypes.c_int32(bm_adv),
         ctypes.c_int64(min_tile),
         ctypes.byref(T), ctypes.byref(nleft), ctypes.byref(opt_waves))
     if rc != 0:

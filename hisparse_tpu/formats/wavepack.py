@@ -59,10 +59,13 @@ import numpy as np
 from ..config import LANES, SpmvConfig
 from .csr import CSRMatrix, argsort_rows_by_nnz
 
-# Rolling window for the block-major scheduler: BM_WIN in-flight tiles
-# per pending-list pass, advancing BM_ADV tiles per pass (every tile gets
-# BM_WIN/BM_ADV dedicated passes).  Must match the C++ twin's bm_win /
-# bm_adv in _scheduler.cpp.
+# Rolling-window defaults for the block-major scheduler: BM_WIN in-flight
+# tiles per pending-list pass, advancing BM_ADV tiles per pass (every tile
+# gets BM_WIN/BM_ADV dedicated passes).  A per-pack speed/fill tradeoff:
+# larger windows amortize list traversals; smaller advances give later
+# tiles fresher class selections (higher fill, more passes).  pack()
+# resolves (arg > WP_BMWIN/WP_BMADV env > these defaults) and passes the
+# SAME values to both scheduler twins, keeping them byte-equal.
 BM_WIN = 16
 BM_ADV = 4
 
@@ -271,6 +274,7 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
          row_order: np.ndarray | None = None,
          split_max: int | None | str = None,
          col_order: np.ndarray | str | None = None,
+         bm_win: int | None = None, bm_adv: int | None = None,
          _stop_frac: float = 0.0,
          _leftover_out: dict | None = None) -> Wavepack:
     """Pack a CSR matrix into wavepack streams (csr2cpsr analog,
@@ -296,6 +300,12 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     _prof = _os.environ.get("WP_PROF") == "1"
     _tp = _time.perf_counter()
     cfg = config or SpmvConfig()
+    if bm_win is None:
+        bm_win = int(_os.environ.get("WP_BMWIN", BM_WIN))
+    if bm_adv is None:
+        bm_adv = int(_os.environ.get("WP_BMADV", BM_ADV))
+    bm_win = max(1, min(int(bm_win), 64))      # uint64 wave masks
+    bm_adv = max(1, min(int(bm_adv), bm_win))
     log_phase(f"pack: {m.num_rows}x{m.num_cols} nnz={m.nnz} cfg={cfg}")
     if isinstance(col_order, str):
         if col_order != "degree":
@@ -402,7 +412,8 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
     elif native.available() and (res := native.pack_full(
             m.indptr, m.indices, np.ascontiguousarray(m.data, val_dtype),
             rank, col_rank, cfg, n_blocks, n_parts,
-            min_tile=int(_stop_frac * S * LANES))) is not None:
+            min_tile=int(_stop_frac * S * LANES),
+            bm_win=bm_win, bm_adv=bm_adv)) is not None:
         # fused native pipeline (the production path; the branch below is
         # its byte-identical pure-Python twin)
         vals, idxT = res["vals"], res["idxT"]
@@ -508,7 +519,7 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
                 res = _schedule_block_major(
                     so[sl], lo[sl], jo[sl], (ao[sl] % 128).astype(np.int32),
                     cls_o[sl], cls2_o[sl], b2x[sl], R, S, CT, K,
-                    stop_frac=_stop_frac)
+                    stop_frac=_stop_frac, bm_win=bm_win, bm_adv=bm_adv)
                 t_l, s_l, ln, bs, ch, cm = res
                 t_l = np.where(t_l < 0, np.int64(-10**9), t_l)
                 t_glob[sl] = t_l + off
@@ -759,7 +770,7 @@ def load_wavepack(path) -> Wavepack:
 
 
 def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
-                          K, stop_frac=0.0):
+                          K, stop_frac=0.0, bm_win=BM_WIN, bm_adv=BM_ADV):
     """Class-group scheduler: every 128-wave group of a tile serves K
     x-blocks ("classes"), chosen per group by pending demand, so the kernel
     needs only K gathers + K-1 selects per group regardless of the block
@@ -839,7 +850,8 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
     # accumulates placements over BM_WIN/BM_ADV dedicated passes while
     # list traversals drop by ~BM_ADV vs a per-tile walk.  Each tile's K
     # classes per group are fixed by pending row coverage at admission.
-    W, ADV = BM_WIN, BM_ADV
+    W = max(1, min(int(bm_win), 64))
+    ADV = max(1, min(int(bm_adv), W))
     lmask = [[0] * LANES for _ in range(G * 128)]   # per (g,u) walk
     bmask = [[0] * LANES for _ in range(G * 128)]
     sel = np.zeros((G, W, K), np.int32)             # class per (g,slot,k)

@@ -450,3 +450,31 @@ def test_locality_row_order_roundtrip():
     import pytest
     with pytest.raises(ValueError):
         pack(m, cfg, row_order="bogus")
+
+
+def test_scheduler_window_twin_and_roundtrip():
+    """Non-default rolling-window settings (bm_win/bm_adv) keep the C++
+    and Python block-major scheduler twins byte-identical and the packed
+    stream decodable — the window is a tuned per-pack parameter threaded
+    to both twins, not a global constant."""
+    from hisparse_tpu.formats import native
+    cfg = SpmvConfig(sublanes=128, bank_blocks=4, stripes=128,
+                     block_major=True, classes_per_group=2,
+                     two_choice=False)
+    m = powerlaw_csr(2000, 2000, 15, alpha=1.2, seed=31)
+    for w, a in ((1, 1), (64, 2), (5, 3)):
+        wp_n = pack(m, cfg, split_max=32, col_order="degree",
+                    bm_win=w, bm_adv=a)
+        assert_same_matrix(m, decode(wp_n))
+        if not native.available():
+            continue
+        orig_avail = native.available
+        native.available = lambda: False
+        try:
+            wp_p = pack(m, cfg, split_max=32, col_order="degree",
+                        bm_win=w, bm_adv=a)
+        finally:
+            native.available = orig_avail
+        assert wp_n.vals.tobytes() == wp_p.vals.tobytes(), (w, a)
+        assert wp_n.idxT.tobytes() == wp_p.idxT.tobytes(), (w, a)
+        assert np.array_equal(wp_n.class_map, wp_p.class_map), (w, a)
