@@ -37,7 +37,7 @@ def _sync(v) -> None:
 
 
 def device_loop_time(fn: Callable, x: jax.Array, *args,
-                     target_spread_s: float = 0.5) -> float:
+                     target_spread_s: float = 2.0) -> float:
     """Marginal per-iteration device time of ``fn(x, *args) -> array``.
 
     Builds ``lax.fori_loop(0, reps, ...)`` around fn with a per-iteration
@@ -73,13 +73,17 @@ def device_loop_time(fn: Callable, x: jax.Array, *args,
     timed(4)                           # single compile + warm
     est = max((min(timed(32), timed(32)) - 0.03) / 32, 1e-7)
     r1 = 16
-    r2 = r1 + max(64, min(int(target_spread_s / est), 20000))
+    r2 = r1 + max(64, min(int(target_spread_s / est), 80000))
+    # the tunnel round trip is ~30 ms with spikes to ~160 ms; on a
+    # microsecond kernel a single spiked ta at r1=16 shifts the slope by
+    # (spike / (r2-r1)) — with a 0.5 s spread that was a 25% error
+    # (measured: a 121%-of-HBM "roofline" reading).  A 2 s spread plus
+    # median-of-5 bounds one spike's pull under ~2%.
     slopes = []
-    for _ in range(3):
+    for _ in range(5):
         ta = timed(r1)
         tb = timed(r2)
         slopes.append((tb - ta) / (r2 - r1))
-    # median of 3: robust to one flaky tunnel round trip in either direction
     return max(float(np.median(slopes)), 1e-9)
 
 
