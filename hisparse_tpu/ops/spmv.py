@@ -65,6 +65,16 @@ def _group_t(e, mxu_ok: bool = False):
         mode = "mxu" if mxu_ok else "vpu"
     if mode == "skip":
         return e
+    if mode == "mxu_hp" and jnp.issubdtype(e.dtype, jnp.floating):
+        # let Mosaic's own multi-pass f32 matmul do the exact transpose —
+        # if supported this retires the manual hi/lo split's VPU ops
+        ident = ((jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+                  == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1))
+                 .astype(jnp.float32))
+        return jax.lax.dot_general(
+            e, ident, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
     if mode == "mxu" and jnp.issubdtype(e.dtype, jnp.floating):
         # identity matmul = transpose on the otherwise-idle MXU (+8-11%
         # slot rate); a manual hi/lo bf16 split bounds the error at
@@ -86,7 +96,8 @@ def _group_t(e, mxu_ok: bool = False):
     return e.T
 
 
-def _route_x(idx, block_get, n_ops: int, cfg: SpmvConfig, src_dest=None):
+def _route_x(idx, block_get, n_ops: int, cfg: SpmvConfig, src_dest=None,
+             wrap: bool = False):
     """Shared per-tile gather pipeline: decode -> banked gather -> row
     crossbar.  ``block_get(g, i)`` returns the (128,128) transposed x block
     that sublane group g's operand i gathers from — for the select-chain
@@ -96,15 +107,22 @@ def _route_x(idx, block_get, n_ops: int, cfg: SpmvConfig, src_dest=None):
     group (total_blocks or classes_per_group).  Returns the (S, 128) routed
     x values in dest-slot layout.  ``src_dest`` carries the crossbar map
     already in dest layout (steal_mantissa fast path); else it is decoded
-    from the transposed index word and transposed back."""
+    from the transposed index word and transposed back.
+
+    ``wrap``: Mosaic's lane dynamic_gather uses only the low 7 bits of the
+    index (wraps mod 128 — verified on v5e incl. negative/high-bit words,
+    scratch/probe_gatherwrap.py), so the compiled path skips the `& 0x7F`
+    decode masks and feeds raw index words to the gathers.  XLA's gather
+    (interpret mode, the csim oracle) clamps instead, so interpret keeps
+    the masks."""
     G = cfg.groups
     mxu_ok = (cfg.steal_mantissa and cfg.dtype == "fp32"
               and cfg.semiring == "plus_times")
-    hT = idx & 0x7F
+    hT = idx if wrap else idx & 0x7F
     gx_groups, src_groups = [], []
     if src_dest is None:
         bT = (idx >> 7) & 0xF
-        srcT = (idx >> 11) & 0x7F
+        srcT = (idx >> 11) if wrap else ((idx >> 11) & 0x7F)
     else:
         # steal_mantissa: src rides in the values, so the idx word holds
         # only b|h (bits 0..10) and the block field needs no mask
@@ -179,7 +197,8 @@ def _acc_init(cfg: SpmvConfig, like):
     return jnp.zeros_like(like)
 
 
-def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig, cls_ids=None):
+def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig, cls_ids=None,
+               wrap: bool = False):
     """``xt`` is the loaded (CT,128,128) block array for the select-chain
     path, or a ref-getter function c -> (128,128) for block-major."""
     if cfg.block_major:
@@ -188,14 +207,16 @@ def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig, cls_ids=None):
     else:
         n_ops = cfg.total_blocks
         get = lambda cast: lambda g, i: cast(xt[i])
-    route = functools.partial(_route_x, n_ops=n_ops, cfg=cfg)
+    route = functools.partial(_route_x, n_ops=n_ops, cfg=cfg, wrap=wrap)
     if cfg.dtype == "fixed":
         xi = route(idx, get(pltpu_bitcast_i32))
         routed = pltpu_bitcast_u32(xi)
         return _fixed_madd(acc, vals, routed)
     if cfg.steal_mantissa:
         vbits = pltpu_bitcast_i32(vals)
-        src_dest = vbits & 0x7F
+        # wrap: the crossbar gather reads only the low 7 bits, which ARE
+        # the stolen src field — feed the raw value bits as the index
+        src_dest = vbits if wrap else vbits & 0x7F
         vals = jax.lax.bitcast_convert_type(vbits & jnp.int32(-128),
                                             jnp.float32)
         routed = route(idx, get(lambda b: b), src_dest=src_dest)
@@ -219,7 +240,8 @@ def pltpu_bitcast_u32(x):
 
 
 def _resident_kernel(part_ref, block_ref, cmap_ref, vals_ref, idxT_ref,
-                     xt_ref, out_ref, *, cfg: SpmvConfig):
+                     xt_ref, out_ref, *, cfg: SpmvConfig,
+                     wrap: bool = False):
     S, G, K = cfg.sublanes, cfg.groups, cfg.classes_per_group
     t = pl.program_id(0)
 
@@ -239,11 +261,12 @@ def _resident_kernel(part_ref, block_ref, cmap_ref, vals_ref, idxT_ref,
     off = pl.multiple_of(bid * S, S)
     acc = out_ref[pl.ds(off, S), :]
     out_ref[pl.ds(off, S), :] = _tile_body(vals_ref[0], idxT_ref[0], xt,
-                                           acc, cfg, cls_ids)
+                                           acc, cfg, cls_ids, wrap=wrap)
 
 
 def _paged_kernel(part_ref, block_ref, first_ref, cmap_ref, vals_ref,
-                  idxT_ref, xt_ref, out_ref, *, cfg: SpmvConfig):
+                  idxT_ref, xt_ref, out_ref, *, cfg: SpmvConfig,
+                  wrap: bool = False):
     G, K = cfg.groups, cfg.classes_per_group
     t = pl.program_id(0)
 
@@ -259,7 +282,7 @@ def _paged_kernel(part_ref, block_ref, first_ref, cmap_ref, vals_ref,
     else:
         xt = xt_ref[0]
     out_ref[0] = _tile_body(vals_ref[0], idxT_ref[0], xt, out_ref[0],
-                            cfg, cls_ids)
+                            cfg, cls_ids, wrap=wrap)
 
 
 def resident_bytes(cfg: SpmvConfig, n_blocks: int, n_parts: int) -> int:
@@ -316,7 +339,8 @@ def _spmv_call(vals, idxT, part, block, first, x, cmap=None, *,
 
     if variant == "resident":
         out = pl.pallas_call(
-            functools.partial(_resident_kernel, cfg=cfg),
+            functools.partial(_resident_kernel, cfg=cfg,
+                              wrap=not interpret),
             grid=(T,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -365,7 +389,8 @@ def _spmv_call(vals, idxT, part, block, first, x, cmap=None, *,
                                    memory_space=pltpu.VMEM),
         )
         out = pl.pallas_call(
-            functools.partial(_paged_kernel, cfg=cfg),
+            functools.partial(_paged_kernel, cfg=cfg,
+                              wrap=not interpret),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_blocks, S, LANES), acc_dtype),
             compiler_params=pltpu.CompilerParams(
