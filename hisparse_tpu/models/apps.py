@@ -138,7 +138,8 @@ def _op_call(op, x, args):
         arr, cmap = args, None
     return _spmv_call(*arr, x, cmap, cfg=op.cfg, n_blocks=op.wp.n_blocks,
                       n_parts=op.wp.n_parts, interpret=op.interpret,
-                      variant=op.variant)
+                      variant=op.variant,
+                      tiles_per_step=getattr(op, "tb", 1))
 
 
 class PageRank:

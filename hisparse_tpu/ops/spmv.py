@@ -241,7 +241,17 @@ def pltpu_bitcast_u32(x):
 
 def _resident_kernel(part_ref, block_ref, cmap_ref, vals_ref, idxT_ref,
                      xt_ref, out_ref, *, cfg: SpmvConfig,
-                     wrap: bool = False):
+                     wrap: bool = False, tb: int = 1):
+    """``tb`` = tiles per grid step: the streamed block carries tb
+    consecutive (S, 128) tiles and the body is unrolled over them.  The
+    per-grid-step fixed cost (~0.2-0.25 us on v5e: scalar reads, DMA
+    issue, grid bookkeeping) is ~20% of a single-tile step at S=512
+    (measured: K=1 rate 61.6 -> 74.6 Gslot/s going S=512 -> 2048); tall
+    tiles buy the same amortization but lose fill to segment
+    quantization, so batching the STREAM while scheduling stays at S=512
+    captures the rate without the fill loss.  The operator pads the tile
+    count to a multiple of tb with identity tiles (same pad conventions
+    as the in-tile pad slots)."""
     S, G, K = cfg.sublanes, cfg.groups, cfg.classes_per_group
     t = pl.program_id(0)
 
@@ -249,19 +259,21 @@ def _resident_kernel(part_ref, block_ref, cmap_ref, vals_ref, idxT_ref,
     def _():
         out_ref[:] = _acc_init(cfg, out_ref)
 
-    pid = part_ref[t]
-    bid = block_ref[t]
-    cls_ids = None
-    if cfg.block_major:
-        xt = lambda c: xt_ref[pid, c]
-        cls_ids = [[cmap_ref[(t * G + g) * K + i] for i in range(K)]
-                   for g in range(G)]
-    else:
-        xt = xt_ref[pid]
-    off = pl.multiple_of(bid * S, S)
-    acc = out_ref[pl.ds(off, S), :]
-    out_ref[pl.ds(off, S), :] = _tile_body(vals_ref[0], idxT_ref[0], xt,
-                                           acc, cfg, cls_ids, wrap=wrap)
+    for j in range(tb):
+        tile = t * tb + j
+        pid = part_ref[tile]
+        bid = block_ref[tile]
+        cls_ids = None
+        if cfg.block_major:
+            xt = lambda c, pid=pid: xt_ref[pid, c]
+            cls_ids = [[cmap_ref[(tile * G + g) * K + i] for i in range(K)]
+                       for g in range(G)]
+        else:
+            xt = xt_ref[pid]
+        off = pl.multiple_of(bid * S, S)
+        acc = out_ref[pl.ds(off, S), :]
+        out_ref[pl.ds(off, S), :] = _tile_body(vals_ref[j], idxT_ref[j], xt,
+                                               acc, cfg, cls_ids, wrap=wrap)
 
 
 def _paged_kernel(part_ref, block_ref, first_ref, cmap_ref, vals_ref,
@@ -285,19 +297,23 @@ def _paged_kernel(part_ref, block_ref, first_ref, cmap_ref, vals_ref,
                             cfg, cls_ids, wrap=wrap)
 
 
-def resident_bytes(cfg: SpmvConfig, n_blocks: int, n_parts: int) -> int:
+def resident_bytes(cfg: SpmvConfig, n_blocks: int, n_parts: int,
+                   tiles_per_step: int = 1) -> int:
     """VMEM footprint of the resident variant (XT + y + stream buffers)."""
     xt = n_parts * cfg.total_blocks * 128 * 128 * 4
     y = n_blocks * cfg.sublanes * LANES * 4
-    streams = 4 * cfg.sublanes * LANES * 4 * 2   # vals+idx, double-buffered
+    # vals+idx, double-buffered, tiles_per_step tiles per block
+    streams = 4 * cfg.sublanes * LANES * 4 * 2 * tiles_per_step
     return xt + y + streams
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_parts",
-                                             "interpret", "variant"))
+                                             "interpret", "variant",
+                                             "tiles_per_step"))
 def _spmv_call(vals, idxT, part, block, first, x, cmap=None, *,
                cfg: SpmvConfig, n_blocks: int, n_parts: int,
-               interpret: bool = False, variant: str = "auto"):
+               interpret: bool = False, variant: str = "auto",
+               tiles_per_step: int = 1):
     S, B, R = cfg.sublanes, cfg.bank_blocks, cfg.stripes
     T = vals.shape[0]
     # compiled Pallas needs a TPU; on CPU backends fall back to the
@@ -338,17 +354,18 @@ def _spmv_call(vals, idxT, part, block, first, x, cmap=None, *,
                    <= _RESIDENT_VMEM_BUDGET else "paged")
 
     if variant == "resident":
+        tb = tiles_per_step if T % tiles_per_step == 0 else 1
         out = pl.pallas_call(
             functools.partial(_resident_kernel, cfg=cfg,
-                              wrap=not interpret),
-            grid=(T,),
+                              wrap=not interpret, tb=tb),
+            grid=(T // tb,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, S, LANES), lambda t: (t, 0, 0),
+                pl.BlockSpec((tb, S, LANES), lambda t: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, S, LANES), lambda t: (t, 0, 0),
+                pl.BlockSpec((tb, S, LANES), lambda t: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
@@ -437,16 +454,57 @@ class SpmvOperator:
         self.wp = wp
         self.cfg = wp.config
         self.interpret = interpret
+        if variant == "auto":
+            variant = ("resident"
+                       if resident_bytes(wp.config, wp.n_blocks, wp.n_parts)
+                       <= _RESIDENT_VMEM_BUDGET else "paged")
         self.variant = variant
         self._colp = (jnp.asarray(wp.col_order)
                       if permute_x and wp.col_order is not None else None)
-        self.vals = jnp.asarray(wp.vals)
-        self.idxT = jnp.asarray(wp.idxT)
-        self.part = jnp.asarray(wp.tile_part)
-        self.block = jnp.asarray(wp.tile_block)
-        self.first = jnp.asarray(wp.tile_first)
-        self.cmap = (jnp.asarray(wp.class_map.reshape(-1))
-                     if wp.class_map is not None else None)
+        vals, idxT = wp.vals, wp.idxT
+        part, block = wp.tile_part, wp.tile_block
+        first, cmap = wp.tile_first, wp.class_map
+        # tiles per grid step (resident only): amortize the per-step fixed
+        # cost.  Largest of 4/2 that keeps the doubled stream buffers under
+        # the VMEM budget; identity pad tiles (same conventions as in-tile
+        # pad slots) round the tile count up, and the resident kernel's
+        # full accumulator init at step 0 makes them safe in any order.
+        self.tb = 1
+        T = vals.shape[0]
+        if variant == "resident":
+            import os
+            env_tb = os.environ.get("WP_TB")
+            cands = ([int(env_tb)] if env_tb else [4, 2])
+            for cand in cands:
+                if cand > 1 and T >= 4 * cand and resident_bytes(
+                        wp.config, wp.n_blocks, wp.n_parts,
+                        cand) <= _RESIDENT_VMEM_BUDGET:
+                    self.tb = cand
+                    break
+            padn = (-T) % self.tb
+            if padn:
+                cfg = wp.config
+                pad0 = np.inf if cfg.semiring == "min_plus" else 0
+                vals = np.concatenate(
+                    [vals, np.full((padn,) + vals.shape[1:], pad0,
+                                   vals.dtype)])
+                idxT = np.concatenate(
+                    [idxT, np.zeros((padn,) + idxT.shape[1:], idxT.dtype)])
+                zpad = np.zeros(padn, part.dtype)
+                part = np.concatenate([part, zpad])
+                block = np.concatenate([block, zpad])
+                first = np.concatenate([first, zpad])
+                if cmap is not None:
+                    cmap = np.concatenate(
+                        [cmap, np.zeros((padn,) + cmap.shape[1:],
+                                        cmap.dtype)])
+        self.vals = jnp.asarray(vals)
+        self.idxT = jnp.asarray(idxT)
+        self.part = jnp.asarray(part)
+        self.block = jnp.asarray(block)
+        self.first = jnp.asarray(first)
+        self.cmap = (jnp.asarray(cmap.reshape(-1))
+                     if cmap is not None else None)
 
     def unpack_device(self, y_renamed):
         """Renamed -> natural-row-order y entirely on device: one scatter
@@ -483,7 +541,7 @@ class SpmvOperator:
             jnp.asarray(x), self.cmap,
             cfg=self.cfg, n_blocks=self.wp.n_blocks,
             n_parts=self.wp.n_parts, interpret=self.interpret,
-            variant=self.variant)
+            variant=self.variant, tiles_per_step=self.tb)
         y_renamed = y_blocks.reshape(-1)
         if renamed:
             return y_renamed

@@ -116,7 +116,8 @@ def measure_spmv(name: str, op, x, nnz: int, stream_bytes: int,
             y = _spmv_call(vals, idxT, part, block, first, xx, cmap,
                            cfg=op.cfg, n_blocks=op.wp.n_blocks,
                            n_parts=op.wp.n_parts, interpret=op.interpret,
-                           variant=op.variant)
+                           variant=op.variant,
+                           tiles_per_step=getattr(op, "tb", 1))
             return y.reshape(-1)
         args = (op.vals, op.idxT, op.part, op.block, op.first, op.cmap)
     else:
@@ -124,7 +125,8 @@ def measure_spmv(name: str, op, x, nnz: int, stream_bytes: int,
             y = _spmv_call(vals, idxT, part, block, first, xx,
                            cfg=op.cfg, n_blocks=op.wp.n_blocks,
                            n_parts=op.wp.n_parts, interpret=op.interpret,
-                           variant=op.variant)
+                           variant=op.variant,
+                           tiles_per_step=getattr(op, "tb", 1))
             return y.reshape(-1)
         args = (op.vals, op.idxT, op.part, op.block, op.first)
     dt = device_loop_time(fn, jnp.asarray(x), *args)

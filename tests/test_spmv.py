@@ -223,3 +223,29 @@ def test_unpack_device_matches_host():
         y_dev = np.asarray(op.unpack_device(jnp.asarray(yr)))
         y_host = wp.unpack_y(np.asarray(yr))
         np.testing.assert_allclose(y_dev, y_host, atol=1e-6), sr
+
+
+def test_tiles_per_step_padding(monkeypatch):
+    """The resident operator batches tb tiles per grid step and pads the
+    tile count with identity tiles; results must match regardless of tb
+    and of whether the pad path engages (T % tb != 0)."""
+    from hisparse_tpu.ops.spmv import SpmvOperator
+
+    cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=128,
+                     two_choice=False)
+    rng = np.random.default_rng(11)
+    for seed in (0, 1, 2):
+        m = powerlaw_csr(900 + 37 * seed, 1100, 7, seed=seed)
+        x = rng.random(m.num_cols).astype(np.float32)
+        wp = pack(m, cfg)
+        ref = spmv_f64(m, x)
+        scale = max(np.abs(ref).max(), 1.0)
+        got_pad = False
+        for tb in ("1", "2", "4"):
+            monkeypatch.setenv("WP_TB", tb)
+            op = SpmvOperator(wp, interpret=True, variant="resident")
+            assert op.vals.shape[0] % op.tb == 0
+            got_pad |= op.vals.shape[0] != wp.vals.shape[0]
+            y = op(x)
+            np.testing.assert_allclose(y, ref, atol=1e-4 * scale, rtol=1e-4)
+    assert got_pad, "no case exercised the pad path; adjust sizes"
