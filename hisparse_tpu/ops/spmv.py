@@ -278,23 +278,32 @@ def _resident_kernel(part_ref, block_ref, cmap_ref, vals_ref, idxT_ref,
 
 def _paged_kernel(part_ref, block_ref, first_ref, cmap_ref, vals_ref,
                   idxT_ref, xt_ref, out_ref, *, cfg: SpmvConfig,
-                  wrap: bool = False):
+                  wrap: bool = False, tb: int = 1):
+    """``tb`` > 1 streams tb consecutive tiles per grid step (see
+    _resident_kernel).  The out/xt index maps read the step's FIRST tile,
+    so the operator pads the stream group-aligned: every tb-group shares
+    one (block, part) — pad tiles inherit the group's ids and carry
+    identity values, appended after the group's real tiles so the block
+    is already initialized when they run."""
     G, K = cfg.groups, cfg.classes_per_group
     t = pl.program_id(0)
 
-    @pl.when(first_ref[t] == 1)
-    def _():
-        out_ref[0] = _acc_init(cfg, out_ref[0])
+    for j in range(tb):
+        tile = t * tb + j
 
-    cls_ids = None
-    if cfg.block_major:
-        xt = lambda c: xt_ref[0, c]
-        cls_ids = [[cmap_ref[(t * G + g) * K + i] for i in range(K)]
-                   for g in range(G)]
-    else:
-        xt = xt_ref[0]
-    out_ref[0] = _tile_body(vals_ref[0], idxT_ref[0], xt, out_ref[0],
-                            cfg, cls_ids, wrap=wrap)
+        @pl.when(first_ref[tile] == 1)
+        def _():
+            out_ref[0] = _acc_init(cfg, out_ref[0])
+
+        cls_ids = None
+        if cfg.block_major:
+            xt = lambda c: xt_ref[0, c]
+            cls_ids = [[cmap_ref[(tile * G + g) * K + i] for i in range(K)]
+                       for g in range(G)]
+        else:
+            xt = xt_ref[0]
+        out_ref[0] = _tile_body(vals_ref[j], idxT_ref[j], xt, out_ref[0],
+                                cfg, cls_ids, wrap=wrap)
 
 
 def resident_bytes(cfg: SpmvConfig, n_blocks: int, n_parts: int,
@@ -384,30 +393,36 @@ def _spmv_call(vals, idxT, part, block, first, x, cmap=None, *,
         # partitioning) keep the whole XT resident in VMEM un-double-
         # buffered; only the y blocks page.  Multi-partition packs page XT
         # per tile by the prefetched partition id.
+        # group-aligned stream batching: the operator guarantees every
+        # tb-group of consecutive tiles shares one (block, part), so the
+        # out/xt maps can read the step's first tile
+        tb = tiles_per_step if T % tiles_per_step == 0 else 1
         xt_spec = (pl.BlockSpec(memory_space=pltpu.VMEM)
                    if n_parts == 1 else
                    pl.BlockSpec((1, cfg.total_blocks, 128, 128),
-                                lambda t, pr, br, fr, cm: (pr[t], 0, 0, 0),
+                                lambda t, pr, br, fr, cm: (pr[t * tb],
+                                                           0, 0, 0),
                                 memory_space=pltpu.VMEM))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
-            grid=(T,),
+            grid=(T // tb,),
             in_specs=[
-                pl.BlockSpec((1, S, LANES),
+                pl.BlockSpec((tb, S, LANES),
                              lambda t, pr, br, fr, cm: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, S, LANES),
+                pl.BlockSpec((tb, S, LANES),
                              lambda t, pr, br, fr, cm: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 xt_spec,
             ],
             out_specs=pl.BlockSpec((1, S, LANES),
-                                   lambda t, pr, br, fr, cm: (br[t], 0, 0),
+                                   lambda t, pr, br, fr, cm: (br[t * tb],
+                                                              0, 0),
                                    memory_space=pltpu.VMEM),
         )
         out = pl.pallas_call(
             functools.partial(_paged_kernel, cfg=cfg,
-                              wrap=not interpret),
+                              wrap=not interpret, tb=tb),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_blocks, S, LANES), acc_dtype),
             compiler_params=pltpu.CompilerParams(
@@ -433,6 +448,33 @@ def _stripe_fold(folded, cfg: SpmvConfig):
     if cfg.semiring == "max_times":
         return folded.max(axis=1)
     return folded.sum(axis=1)
+
+
+def _pad_group_aligned(vals, idxT, part, block, first, cmap, tb, pad0):
+    """Pad the tile stream so every run of equal (block, part) tiles has a
+    multiple-of-tb length: each tb-group then shares one (block, part) and
+    the paged out/xt index maps can read the step's first tile.  Pad tiles
+    carry identity values, inherit their run's ids, and follow the run's
+    real tiles (first=0 — the block is already initialized)."""
+    T = vals.shape[0]
+    chg = np.nonzero((np.diff(block) != 0) | (np.diff(part) != 0))[0] + 1
+    bounds = np.concatenate([[0], chg, [T]])
+    src = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        src.extend(range(a, b))
+        src.extend([-1] * ((-(b - a)) % tb))
+    src = np.asarray(src, np.int64)
+    real = src >= 0
+
+    def take(arr, fillval):
+        out = np.empty((len(src),) + arr.shape[1:], arr.dtype)
+        out[real] = arr[src[real]]
+        out[~real] = fillval
+        return out
+
+    ff = np.maximum.accumulate(np.where(real, src, -1))  # run's last real
+    return (take(vals, pad0), take(idxT, 0), part[ff], block[ff],
+            take(first, 0), take(cmap, 0) if cmap is not None else None)
 
 
 class SpmvOperator:
@@ -464,27 +506,29 @@ class SpmvOperator:
         vals, idxT = wp.vals, wp.idxT
         part, block = wp.tile_part, wp.tile_block
         first, cmap = wp.tile_first, wp.class_map
-        # tiles per grid step (resident only): amortize the per-step fixed
-        # cost.  Largest of 4/2 that keeps the doubled stream buffers under
-        # the VMEM budget; identity pad tiles (same conventions as in-tile
-        # pad slots) round the tile count up, and the resident kernel's
-        # full accumulator init at step 0 makes them safe in any order.
+        # tiles per grid step: amortize the per-step fixed cost.  Largest
+        # of 4/2 that keeps the doubled stream buffers under the VMEM
+        # budget; identity pad tiles (same conventions as in-tile pad
+        # slots) round the tile count up.  Resident pads at the end (the
+        # full accumulator init at step 0 makes any order safe); paged
+        # pads group-aligned so every tb-group shares one (block, part)
+        # and the pad tiles follow their group's real tiles.
         self.tb = 1
         T = vals.shape[0]
+        import os
+        env_tb = os.environ.get("WP_TB")
+        cands = ([int(env_tb)] if env_tb else [4, 2])
+        cfg = wp.config
+        pad0 = np.inf if cfg.semiring == "min_plus" else 0
         if variant == "resident":
-            import os
-            env_tb = os.environ.get("WP_TB")
-            cands = ([int(env_tb)] if env_tb else [4, 2])
             for cand in cands:
                 if cand > 1 and T >= 4 * cand and resident_bytes(
-                        wp.config, wp.n_blocks, wp.n_parts,
+                        cfg, wp.n_blocks, wp.n_parts,
                         cand) <= _RESIDENT_VMEM_BUDGET:
                     self.tb = cand
                     break
             padn = (-T) % self.tb
             if padn:
-                cfg = wp.config
-                pad0 = np.inf if cfg.semiring == "min_plus" else 0
                 vals = np.concatenate(
                     [vals, np.full((padn,) + vals.shape[1:], pad0,
                                    vals.dtype)])
@@ -498,6 +542,20 @@ class SpmvOperator:
                     cmap = np.concatenate(
                         [cmap, np.zeros((padn,) + cmap.shape[1:],
                                         cmap.dtype)])
+        elif variant == "paged":
+            S = cfg.sublanes
+            xt_page = cfg.total_blocks * 128 * 128 * 4
+            fixed_b = (xt_page * (1 if wp.n_parts == 1 else 2)
+                       + 2 * S * LANES * 4)
+            for cand in cands:
+                if (cand > 1 and T >= 4 * cand
+                        and fixed_b + 16 * S * LANES * cand
+                        <= _RESIDENT_VMEM_BUDGET):
+                    self.tb = cand
+                    break
+            if self.tb > 1:
+                vals, idxT, part, block, first, cmap = _pad_group_aligned(
+                    vals, idxT, part, block, first, cmap, self.tb, pad0)
         self.vals = jnp.asarray(vals)
         self.idxT = jnp.asarray(idxT)
         self.part = jnp.asarray(part)

@@ -249,3 +249,28 @@ def test_tiles_per_step_padding(monkeypatch):
             y = op(x)
             np.testing.assert_allclose(y, ref, atol=1e-4 * scale, rtol=1e-4)
     assert got_pad, "no case exercised the pad path; adjust sizes"
+
+
+def test_paged_tiles_per_step(monkeypatch):
+    """Paged tb batching pads the stream group-aligned (every tb-group of
+    tiles shares one (block, part)); results match tb=1."""
+    from hisparse_tpu.ops.spmv import SpmvOperator
+
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=32)
+    m = powerlaw_csr(4 * cfg.rows_per_block + 50, cfg.vb_cols + 200, 5,
+                     seed=7)
+    rng = np.random.default_rng(7)
+    x = rng.random(m.num_cols).astype(np.float32)
+    wp = pack(m, cfg)
+    ref = spmv_f64(m, x)
+    scale = max(np.abs(ref).max(), 1.0)
+    for tb in ("1", "2", "4"):
+        monkeypatch.setenv("WP_TB", tb)
+        op = SpmvOperator(wp, interpret=True, variant="paged")
+        assert op.tb == int(tb) or int(tb) == 1 or op.tb == 1
+        if op.tb > 1:
+            blk = np.asarray(op.block).reshape(-1, op.tb)
+            prt = np.asarray(op.part).reshape(-1, op.tb)
+            assert (blk == blk[:, :1]).all() and (prt == prt[:, :1]).all()
+        y = op(x)
+        np.testing.assert_allclose(y, ref, atol=1e-4 * scale, rtol=1e-4)
