@@ -72,8 +72,11 @@ def tune_grid(num_rows=None, avg_nnz=None):
         # (scripts/tpu_sweep.py): K=2 for slot rate, tc0 halves the x
         # tile at equal fill under degree ordering, K=4/8 for
         # spread-column graphs where the per-group class choice starves
+        # (8, 1, *) joined in round 3: tiles-per-step batching lifted
+        # K=1 to 71.2 Gslot/s, putting it on the frontier for high-fill
+        # regimes
         for B, K, tc in ((4, 2, True), (8, 2, False), (8, 4, False),
-                         (16, 4, True)):
+                         (16, 4, True), (8, 1, True)):
             pts.append((SpmvConfig(sublanes=512, bank_blocks=B, stripes=R,
                                    two_choice=tc, block_major=True,
                                    classes_per_group=K,

@@ -54,7 +54,7 @@ def default_grid():
     # values so the kernel skips the src-decode transpose.  (B, K, tc)
     # set from the round-2 on-chip sweep (scripts/tpu_sweep.py).
     for B, K, tc in ((4, 2, True), (8, 2, False), (8, 4, False),
-                     (16, 4, True)):
+                     (16, 4, True), (8, 1, True)):
         for R in (128, 512):
             pts.append((SpmvConfig(sublanes=512, bank_blocks=B, stripes=R,
                                    two_choice=tc, block_major=True,

@@ -39,7 +39,9 @@ from ..ops.spmv import resident_bytes, _RESIDENT_VMEM_BUDGET
 # module, which takes precedence — the analog of the reference's
 # instrumented-csim calibration (performance_model/include/shuffle.h:199).
 SLOT_RATE_GSLOTS = {1: 62.0, 2: 52.0, 4: 48.0, 8: 23.0, 16: 12.0}
-SLOT_RATE_BM_GSLOTS = {1: 62.0, 2: 52.0, 4: 38.0, 8: 23.0}
+# round-3: tiles-per-step batching lifted bm K=1 to 71.2 Gslot/s
+# (scratch/probe_wrap_rate.py); K=2/K=4 unchanged within noise
+SLOT_RATE_BM_GSLOTS = {1: 71.0, 2: 53.0, 4: 38.0, 8: 23.0}
 
 _RATES_PATH = __file__.rsplit("/", 1)[0] + "/slot_rates.json"
 _loaded_rates = None
