@@ -137,7 +137,7 @@ struct PlanState {
   // on hub-heavy graphs are singletons)
   std::vector<std::vector<uint64_t>> pend1;
   std::vector<int32_t> cnt_rlc;              // (R,128,CT) bm row coverage
-  std::vector<int64_t> rows_cnt;             // (R,CT)
+  std::vector<int64_t> cnt_gc;               // (Rp,CT) pending-row sums
   std::vector<uint16_t> nxt;                 // per-record next-alive offset
                                              // within its item (== count
                                              // terminates the walk)
@@ -357,10 +357,14 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
   double tb0 = now_s();
   // row-coverage counters for class scoring
   g.cnt_rlc.assign(static_cast<size_t>(R) * 128 * CT, 0);
-  g.rows_cnt.assign(static_cast<size_t>(R) * CT, 0);
+  // admission scores are sums of per-(sg, c) distinct-pending-row counts
+  // over the group's 128 stripes; maintained incrementally (exactly the
+  // value the old 128xCT strided re-scan computed, ~1 GB of reads per
+  // 27M-nnz pack)
+  g.cnt_gc.assign(static_cast<size_t>(Rp) * CT, 0);
   auto cover_inc = [&](int32_t sg, int32_t lm, int32_t c) {
     if (++g.cnt_rlc[(static_cast<size_t>(sg) * 128 + lm) * CT + c] == 1)
-      ++g.rows_cnt[static_cast<size_t>(sg) * CT + c];
+      ++g.cnt_gc[static_cast<size_t>(sg >> 7) * CT + c];
   };
   if (g.pend.size() < static_cast<size_t>(R) * CT) {
     g.pend.resize(static_cast<size_t>(R) * CT);
@@ -485,14 +489,9 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
       const int32_t slot = admitted + anew;
       for (int32_t grp = 0; grp < G; ++grp) {
         const int32_t gmod = grp % Rp;
-        for (int32_t c = 0; c < CT; ++c) {
-          int64_t sc = 0;
-          const int64_t* rc = g.rows_cnt.data()
-                              + static_cast<size_t>(gmod) * 128 * CT + c;
-          for (int32_t u = 0; u < 128; ++u)
-            sc += rc[static_cast<size_t>(u) * CT];
-          scores[c] = sc;
-        }
+        const int64_t* gc = g.cnt_gc.data()
+                            + static_cast<size_t>(gmod) * CT;
+        for (int32_t c = 0; c < CT; ++c) scores[c] = gc[c];
         for (int32_t kk = 0; kk < K; ++kk) {   // stable top-K (ties: low c)
           int32_t best = -1; int64_t bv = -1;
           for (int32_t c = 0; c < CT; ++c) {
@@ -584,10 +583,10 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
               so.bsel = bsl[w];
               so.flags = static_cast<uint8_t>(is_primary ? 1 : 3);
               const size_t rbase = (static_cast<size_t>(sg) * 128 + lm) * CT;
-              if (--g.cnt_rlc[rbase + c1] == 0)
-                --g.rows_cnt[static_cast<size_t>(sg) * CT + c1];
+              const size_t gcb = static_cast<size_t>(sg >> 7) * CT;
+              if (--g.cnt_rlc[rbase + c1] == 0) --g.cnt_gc[gcb + c1];
               if (c2 != c1 && --g.cnt_rlc[rbase + c2] == 0)
-                --g.rows_cnt[static_cast<size_t>(sg) * CT + c2];
+                --g.cnt_gc[gcb + c2];
               placed_mask |= 1ull << w;
               ++placed_w[w];
               if (t_win + w > high) high = t_win + w;
@@ -639,10 +638,10 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
             so.bsel = bsl[w];
             so.flags = static_cast<uint8_t>(primary ? 1 : 3);
             const size_t rbase = (static_cast<size_t>(sg) * 128 + lm) * CT;
-            if (--g.cnt_rlc[rbase + c1] == 0)
-              --g.rows_cnt[static_cast<size_t>(sg) * CT + c1];
+            const size_t gcb = static_cast<size_t>(sg >> 7) * CT;
+            if (--g.cnt_rlc[rbase + c1] == 0) --g.cnt_gc[gcb + c1];
             if (c2 != c1 && --g.cnt_rlc[rbase + c2] == 0)
-              --g.rows_cnt[static_cast<size_t>(sg) * CT + c2];
+              --g.cnt_gc[gcb + c2];
             ++placed_w[w];
             if (t_win + w > high) high = t_win + w;
             --remaining;
