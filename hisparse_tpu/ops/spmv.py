@@ -503,6 +503,13 @@ class SpmvOperator:
         self.variant = variant
         self._colp = (jnp.asarray(wp.col_order)
                       if permute_x and wp.col_order is not None else None)
+        self._prepare(variant)
+
+    def _prepare(self, variant):
+        """Resolve tb and build the (possibly padded) device stream arrays
+        for ``variant``.  Re-invoked by the VMEM fallback to rebuild for
+        the paged variant."""
+        wp = self.wp
         vals, idxT = wp.vals, wp.idxT
         part, block = wp.tile_part, wp.tile_block
         first, cmap = wp.tile_first, wp.class_map
@@ -594,6 +601,22 @@ class SpmvOperator:
             x = float_to_fixed(np.asarray(x))
         if self._colp is not None:
             x = jnp.asarray(x)[self._colp]
+        try:
+            return self._run(x, renamed)
+        except Exception:                                 # noqa: BLE001
+            # VMEM-overflow fallback (the 256 MB channel-guard analog,
+            # sw/benchmark.cpp:238-243): a resident compile near the
+            # budget edge can still be rejected by Mosaic — rebuild the
+            # stream for the paged variant and retry once
+            if self.variant != "resident" or self.interpret:
+                raise
+            from ..utils.tracing import log_phase
+            log_phase("resident compile failed; falling back to paged")
+            self.variant = "paged"
+            self._prepare("paged")
+            return self._run(x, renamed)
+
+    def _run(self, x, renamed):
         y_blocks = _spmv_call(
             self.vals, self.idxT, self.part, self.block, self.first,
             jnp.asarray(x), self.cmap,
