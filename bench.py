@@ -186,6 +186,12 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
                         two_choice=False, block_major=True,
                         classes_per_group=4, steal_mantissa=True),
              base, None),
+            # K=2 runs ~1.5x the K=4 slot rate (53.9 vs 36 Gslot/s with
+            # tile batching); wins whenever its fill holds >= ~2/3 of K=4
+            (SpmvConfig(sublanes=512, bank_blocks=B_fit, stripes=512,
+                        two_choice=False, block_major=True,
+                        classes_per_group=2, steal_mantissa=True),
+             2 * base, "locality"),
         ]
         best = None
         for cfg_c, sm, ro_c in dict.fromkeys(cands):
