@@ -48,8 +48,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import LANES, SpmvConfig
 from ..formats.wavepack import Wavepack
 
-# conservative usable-VMEM budget for the resident variant (bytes)
-_RESIDENT_VMEM_BUDGET = 10 * 1024 * 1024
+# conservative usable-VMEM budget for the resident variant (bytes);
+# WP_VMEM_BUDGET overrides for probing the true Mosaic limit (the
+# operator falls back to paged if a resident compile is rejected)
+import os as _os
+
+_RESIDENT_VMEM_BUDGET = int(_os.environ.get("WP_VMEM_BUDGET",
+                                            10 * 1024 * 1024))
 
 # per-group transpose implementation: "auto" (MXU when the config's error
 # budget allows, else VPU) | "vpu" (lax.transpose) | "mxu" (identity

@@ -274,3 +274,37 @@ def test_paged_tiles_per_step(monkeypatch):
             assert (blk == blk[:, :1]).all() and (prt == prt[:, :1]).all()
         y = op(x)
         np.testing.assert_allclose(y, ref, atol=1e-4 * scale, rtol=1e-4)
+
+
+def test_pad_group_aligned_edges():
+    from hisparse_tpu.ops.spmv import _pad_group_aligned
+
+    S, L = 4, 8
+    T = 7
+    vals = np.arange(T * S * L, dtype=np.float32).reshape(T, S, L)
+    idxT = np.arange(T * S * L, dtype=np.int32).reshape(T, S, L)
+    part = np.array([0, 0, 0, 1, 1, 1, 1], np.int32)
+    block = np.array([0, 0, 0, 0, 1, 1, 1], np.int32)
+    first = np.array([1, 0, 0, 1, 1, 0, 0], np.int32)
+    cmap = np.arange(T * 2, dtype=np.int32).reshape(T, 2)
+    v2, i2, p2, b2, f2, c2 = _pad_group_aligned(
+        vals, idxT, part, block, first, cmap, 4, 0.0)
+    assert v2.shape[0] % 4 == 0
+    # every group uniform in (block, part)
+    pg = p2.reshape(-1, 4)
+    bg = b2.reshape(-1, 4)
+    assert (pg == pg[:, :1]).all() and (bg == bg[:, :1]).all()
+    # real tiles keep their content and order
+    keep = [t for t in range(v2.shape[0]) if (v2[t] != 0).any()]
+    np.testing.assert_array_equal(np.concatenate([v2[t].ravel()
+                                                  for t in keep]),
+                                  vals.reshape(T, -1).ravel())
+    # pad tiles: zero vals, first=0
+    padm = np.ones(v2.shape[0], bool)
+    padm[keep] = False
+    assert (v2[padm] == 0).all() and (f2[padm] == 0).all()
+    # single-run stream: only tail padding
+    p1 = np.zeros(5, np.int32)
+    v2, i2, p2, b2, f2, c2 = _pad_group_aligned(
+        vals[:5], idxT[:5], p1, p1, first[:5], None, 2, 0.0)
+    assert v2.shape[0] == 6 and c2 is None
