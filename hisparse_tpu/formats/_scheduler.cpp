@@ -138,7 +138,9 @@ struct PlanState {
   std::vector<std::vector<uint64_t>> pend1;
   std::vector<int32_t> cnt_rlc;              // (R,128,CT) bm row coverage
   std::vector<int64_t> cnt_gc;               // (Rp,CT) pending-row sums
-  std::vector<uint16_t> nxt;                 // per-record next-alive offset
+  std::vector<uint32_t> lamnxt;              // per-record lam<<16 | next-alive
+                                             // (one 4B load per chain step
+                                             // vs 2B nxt + 8B Rec before)
                                              // within its item (== count
                                              // terminates the walk)
   int64_t opt_waves;                         // edge-coloring lower bound
@@ -209,8 +211,9 @@ inline int32_t place_rows(Item& it, bool lanes_used[128], Out&& out) {
   int32_t o = it.alive0;
   while (o < cnt) {
     const int32_t idx = it.head + o;
-    const int32_t nx = g.nxt[idx];
-    const int32_t lm = g.recs[idx].lam;
+    const uint32_t ln = g.lamnxt[idx];
+    const int32_t nx = static_cast<int32_t>(ln & 0xFFFF);
+    const int32_t lm = static_cast<int32_t>(ln >> 16);
     if (lanes_used[lm]) {
       prev = o;
       o = nx;
@@ -220,7 +223,10 @@ inline int32_t place_rows(Item& it, bool lanes_used[128], Out&& out) {
     out(idx);
     ++placed;
     if (prev < 0) it.alive0 = static_cast<uint16_t>(nx);
-    else g.nxt[it.head + prev] = static_cast<uint16_t>(nx);
+    else
+      g.lamnxt[it.head + prev] =
+          (g.lamnxt[it.head + prev] & 0xFFFF0000u)
+          | static_cast<uint32_t>(nx);
     o = nx;
   }
   it.remaining = static_cast<uint16_t>(it.remaining - placed);
@@ -272,7 +278,8 @@ void schedule_chain_segment(int64_t lo, int64_t hi) {
       it.head = static_cast<int32_t>(p);
       const int64_t cap = p + 65535;
       while (p < e && p < cap && g.recs[p].bank == b && g.recs[p].a == a) {
-        g.nxt[p] = static_cast<uint16_t>(p - it.head + 1);
+        g.lamnxt[p] = (static_cast<uint32_t>(g.recs[p].lam) << 16)
+                      | static_cast<uint32_t>(p - it.head + 1);
         ++p;
       }
       it.count = static_cast<uint16_t>(p - it.head);
@@ -386,7 +393,8 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
     const int64_t cap = p + 65535;
     while (p < hi && p < cap && g.recs[p].sigma == sg && g.recs[p].bank == b
            && g.recs[p].a == a) {
-      g.nxt[p] = static_cast<uint16_t>(p - head + 1);
+      g.lamnxt[p] = (static_cast<uint32_t>(g.recs[p].lam) << 16)
+                    | static_cast<uint32_t>(p - head + 1);
       ++p;
     }
     const int32_t count = static_cast<int32_t>(p - head);
@@ -570,8 +578,9 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
             while (o < cnt) {
               ++bm_chain;
               const int32_t idx = it.head + o;
-              const int32_t nx = g.nxt[idx];
-              const int32_t lm = g.recs[idx].lam;
+              const uint32_t ln = g.lamnxt[idx];
+              const int32_t nx = static_cast<int32_t>(ln & 0xFFFF);
+              const int32_t lm = static_cast<int32_t>(ln >> 16);
               const uint64_t cand = avail & ~lane_mask[lm];
               if (!cand) { prev = o; o = nx; continue; }
               const int32_t w = __builtin_ctzll(cand);
@@ -592,7 +601,10 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
               if (t_win + w > high) high = t_win + w;
               ++placed;
               if (prev < 0) it.alive0 = static_cast<uint16_t>(nx);
-              else g.nxt[it.head + prev] = static_cast<uint16_t>(nx);
+              else
+                g.lamnxt[it.head + prev] =
+                    (g.lamnxt[it.head + prev] & 0xFFFF0000u)
+                    | static_cast<uint32_t>(nx);
               o = nx;
             }
             if (placed) {
@@ -804,7 +816,7 @@ int64_t wp_plan(
   const int64_t n_segs = static_cast<int64_t>(g.seg_block.size());
 
   g.out.assign(nnz, SchedOut{0, 0, 0, 0, 0});
-  g.nxt.resize(nnz);
+  g.lamnxt.resize(nnz);
   g.class_map.clear();
   g.seg_tiles.assign(n_segs, 0);
 
