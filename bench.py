@@ -109,12 +109,16 @@ def _tune_cache_load():
 
 
 def _tune_cache_store(key, cfg, split, co, ro=None, bm_win=None,
-                      bm_adv=None):
+                      bm_adv=None, tune_s=None):
     d = _tune_cache_load()
     import dataclasses as _dc
     d[key] = {"cfg": _dc.asdict(cfg), "split": split,
               "col_order": co if isinstance(co, (str, type(None))) else None,
-              "row_order": ro, "bm_win": bm_win, "bm_adv": bm_adv}
+              "row_order": ro, "bm_win": bm_win, "bm_adv": bm_adv,
+              # the one-time tuning wall clock, recorded so the baked
+              # design point's cost exists in an artifact (the analog of
+              # the reference's DSE + bitstream build time)
+              "tune_s": None if tune_s is None else round(tune_s, 1)}
     with open(TUNE_CACHE_PATH, "w") as f:
         json.dump(d, f, indent=1, sort_keys=True)
 
@@ -326,14 +330,15 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
     # design point is never silently reused from the cache
     if ok and (cached is None or (cfg.block_major
                                    and cached.get("bm_win") is None)):
-        _tune_cache_store(ckey, cfg, split, co, ro, bw, ba)
+        _tune_cache_store(ckey, cfg, split, co, ro, bw, ba, tune_s)
     met = measure_spmv(name, op, x, m.nnz, wp.stream_bytes,
                        preproc_s=pre, fill=wp.fill)
     tag = (f"cfg S={cfg.sublanes} B={cfg.bank_blocks} R={cfg.stripes} "
            f"tc={int(cfg.two_choice)}"
            + (f" bm/K={cfg.classes_per_group}" if cfg.block_major else "")
            + (" fixed" if dtype == "fixed" else "")
-           + f" | tune {tune_s:5.1f} s")
+           + (f" | tune {tune_s:5.1f} s" if cached is None else
+              f" | tune cached ({cached.get('tune_s', '?')} s one-time)"))
     print(("OK  " if ok else "BAD ") + met.row() + " | " + tag,
           file=sys.stderr, flush=True)
     return met, ok, cfg, wp
