@@ -51,3 +51,32 @@ def test_fuzz_roundtrip_and_spmv(i, S, R, B, tc, bm, k, steal, split):
     ref = spmv_f64(m, x)
     rs = max(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(y, ref, atol=1e-4 * rs, rtol=1e-4)
+
+
+@pytest.mark.parametrize("i,S,R,B,tc,bm,k,steal,split", CASES[:6])
+def test_fuzz_tiles_per_step(i, S, R, B, tc, bm, k, steal, split,
+                             monkeypatch):
+    """Same sampled design points, forced tb batching on both variants."""
+    from hisparse_tpu.ops.spmv import SpmvOperator
+
+    cfg = SpmvConfig(sublanes=S, stripes=R, bank_blocks=B, two_choice=tc,
+                     block_major=bm, classes_per_group=k,
+                     steal_mantissa=steal)
+    rng = np.random.default_rng(100 + i)
+    if i % 2:
+        m = powerlaw_csr(int(rng.integers(50, 900)),
+                         int(rng.integers(200, cfg.vb_cols + 700)),
+                         float(rng.integers(2, 12)), alpha=1.2, seed=i)
+    else:
+        m = uniform_sparse_csr(int(rng.integers(50, 900)),
+                               int(rng.integers(200, cfg.vb_cols + 700)),
+                               int(rng.integers(2, 30)), seed=i)
+    wp = pack(m, cfg, split_max=None if split is None else split)
+    x = rng.random(m.num_cols).astype(np.float32)
+    ref = spmv_f64(m, x)
+    rs = max(np.abs(ref).max(), 1.0)
+    monkeypatch.setenv("WP_TB", str(int(_rng.choice([2, 4]))))
+    for variant in ("resident", "paged"):
+        y = SpmvOperator(wp, interpret=True, variant=variant)(x)
+        np.testing.assert_allclose(y, ref, atol=1e-4 * rs, rtol=1e-4,
+                                   err_msg=variant)
