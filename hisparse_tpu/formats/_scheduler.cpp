@@ -469,6 +469,16 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
   static std::vector<uint64_t> lmask_all, bmask_all;
   lmask_all.assign(n_walks * 128, 0);
   bmask_all.assign(n_walks * 128, 0);
+  // has-pending bitmap over (sg, c): late passes probe mostly-drained
+  // lists, and the two scattered vector-header loads per probe dominate
+  // the per-pass overhead; the bitmap (R*CT bits, cache-resident) makes
+  // the skip a bit test.  Monotone (lists only shrink), so clearing on
+  // drain is exact — pure speedup, walk order unchanged.
+  static std::vector<uint64_t> has_pend;
+  has_pend.assign((static_cast<size_t>(R) * CT + 63) / 64, 0);
+  for (size_t cc = 0; cc < static_cast<size_t>(R) * CT; ++cc)
+    if (!g.pend[cc].empty() || !g.pend1[cc].empty())
+      has_pend[cc >> 6] |= 1ull << (cc & 63);
   // per (g, slot, k): selected class; per (g, c): in-window slot bits;
   // per (g, c, slot): the class's index within that tile's selection
   static std::vector<int32_t> sel;
@@ -540,9 +550,14 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
         uint64_t* bank_mask =
             bmask_all.data() + (static_cast<size_t>(grp) * 128 + u) * 128;
         for (const int32_t c : corder) {
-          auto& lst = g.pend[static_cast<size_t>(sg) * CT + c];
-          auto& sgl = g.pend1[static_cast<size_t>(sg) * CT + c];
-          if (lst.empty() && sgl.empty()) continue;
+          const size_t cc = static_cast<size_t>(sg) * CT + c;
+          if (!(has_pend[cc >> 6] & (1ull << (cc & 63)))) continue;
+          auto& lst = g.pend[cc];
+          auto& sgl = g.pend1[cc];
+          if (lst.empty() && sgl.empty()) {
+            has_pend[cc >> 6] &= ~(1ull << (cc & 63));
+            continue;
+          }
           const uint64_t tm = tmg[c];
           if (!tm) continue;
           const int8_t* bsl =
