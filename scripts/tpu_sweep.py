@@ -27,6 +27,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     from hisparse_tpu import (uniform_sparse_csr, powerlaw_csr, pack,
                               SpmvConfig, SpmvOperator)
+    from hisparse_tpu.models.perf_model import estimate_pack
     from hisparse_tpu.ops.golden import spmv_f64
     from hisparse_tpu.utils.bench import measure_spmv
 
@@ -65,9 +66,13 @@ def main():
                                    preproc_s=pre, fill=wp.fill)
                 slots = wp.num_tiles * cfg.tile_slots
                 gslot = slots / (met.spmv_ms * 1e-3) / 1e9
+                est = estimate_pack(wp)
+                mdl = (f"model {est.gops:5.1f} "
+                       f"({met.gops / max(est.gops, 1e-9):4.2f}x)")
                 print(f"{mname:14s} {cname:16s} fill {wp.fill:.3f} | "
                       f"{met.gops:6.1f} GOPS | {gslot:5.1f} Gslot/s | "
-                      f"stream {met.stream_gbps:5.0f} GB/s | pack {pre:5.1f}s"
+                      f"stream {met.stream_gbps:5.0f} GB/s | {mdl} | "
+                      f"pack {pre:5.1f}s"
                       f" | {'OK' if err < 1e-4 else 'BAD ' + str(err)}",
                       flush=True)
             except Exception as e:                        # noqa: BLE001
