@@ -308,3 +308,30 @@ def test_pad_group_aligned_edges():
     v2, i2, p2, b2, f2, c2 = _pad_group_aligned(
         vals[:5], idxT[:5], p1, p1, first[:5], None, 2, 0.0)
     assert v2.shape[0] == 6 and c2 is None
+
+
+def test_vmem_fallback_rebuilds_paged(monkeypatch):
+    """A rejected resident compile falls back to a paged rebuild and
+    still produces the correct result."""
+    from hisparse_tpu.ops import spmv as sp
+
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=64)
+    m = powerlaw_csr(800, 900, 6, seed=5)
+    x = np.random.default_rng(5).random(m.num_cols).astype(np.float32)
+    wp = pack(m, cfg)
+    ref = spmv_f64(m, x)
+    real = sp._spmv_call
+    state = {}
+
+    def fake(*a, **kw):
+        if kw.get("variant") == "resident" and "failed" not in state:
+            state["failed"] = True
+            raise RuntimeError("RESOURCE_EXHAUSTED: VMEM")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sp, "_spmv_call", fake)
+    op = sp.SpmvOperator(wp, variant="resident")   # interpret auto on CPU
+    y = op(x)
+    assert state.get("failed") and op.variant == "paged"
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(y, ref, atol=1e-4 * scale, rtol=1e-4)
