@@ -201,3 +201,166 @@ class ShardedSpmv:
             out[off:off + p_.shape[0]] = p_
             off += p_.shape[0]
         return out
+
+
+class ShardedSpmv2D:
+    """Row x column sharded SpMV over a 2-D device mesh (axes
+    (rows, cols)) — the distributed form of the reference's 2-D tiling
+    (row partitions x column partitions, sw/host.cpp:150-151): device
+    (i, j) owns row shard i restricted to column shard j, x is sharded
+    over "cols" (each device holds only its x_j slice), and the partial
+    y_i contributions combine with the semiring's additive collective
+    over the "cols" axis (psum / pmin / pmax riding ICI) — the
+    reduction the 1-D form never needs.
+
+    The renamed row layout must be IDENTICAL across a row shard's column
+    shards for the collective to be meaningful, so hub splitting and the
+    row ordering are resolved once per row shard (on the full shard, not
+    per (i, j) piece) and passed to every column piece's pack as an
+    explicit row_order with splitting disabled.
+    """
+
+    def __init__(self, m: CSRMatrix, mesh: Mesh,
+                 config: SpmvConfig | None = None,
+                 split_max: int | None | str = None,
+                 interpret: bool = False):
+        cfg = config or SpmvConfig()
+        if cfg.dtype == "fixed":
+            raise ValueError("2-D sharding combines partials with a "
+                             "collective; fixed-point recombine saturates "
+                             "(use ShardedSpmv + host unpack)")
+        self.cfg = cfg
+        self.mesh = mesh
+        self.interpret = interpret
+        ar, ac = mesh.axis_names
+        self.ar, self.ac = ar, ac
+        nr, nc = mesh.devices.shape
+        from ..formats.csr import argsort_rows_by_nnz, split_rows
+        if split_max == "auto":
+            mean = max(float(m.nnz) / max(m.num_rows, 1), 1.0)
+            split_max = max(8, 1 << int(round(np.log2(mean))))
+        rows_per_shard = -(-m.num_rows // nr)
+        cols_per_shard = -(-m.num_cols // nc)
+        self.cols_per_shard = cols_per_shard
+        grid, self.row_maps, self.row_counts = [], [], []
+        for i in range(nr):
+            r0 = min(m.num_rows, i * rows_per_shard)
+            r1 = min(m.num_rows, r0 + rows_per_shard)
+            indptr = m.indptr[r0:r1 + 1] - m.indptr[r0]
+            sub = CSRMatrix(r1 - r0, m.num_cols,
+                            m.data[m.indptr[r0]:m.indptr[r1]],
+                            m.indices[m.indptr[r0]:m.indptr[r1]],
+                            np.asarray(indptr))
+            # split + order ONCE per row shard -> common renamed layout
+            if split_max is not None:
+                sub, row_map = split_rows(sub, split_max)
+            else:
+                row_map = np.arange(sub.num_rows, dtype=np.int64)
+            order = argsort_rows_by_nnz(sub, descending=True)
+            self.row_maps.append(row_map)
+            self.row_counts.append(r1 - r0)
+            row = []
+            for j in range(nc):
+                c0 = min(m.num_cols, j * cols_per_shard)
+                c1 = min(m.num_cols, c0 + cols_per_shard)
+                sel = (sub.indices >= c0) & (sub.indices < c1)
+                cnt = np.zeros(sub.num_rows, np.int64)
+                np.add.at(cnt, np.repeat(np.arange(sub.num_rows),
+                                         np.diff(sub.indptr))[sel], 1)
+                piece = CSRMatrix(
+                    sub.num_rows, max(c1 - c0, 1),
+                    sub.data[sel], sub.indices[sel] - c0,
+                    np.concatenate([[0], np.cumsum(cnt)]))
+                row.append(pack(piece, cfg, row_order=order,
+                                split_max=None))
+            grid.append(row)
+        T = max(wp.num_tiles for row in grid for wp in row)
+        NB = max(wp.n_blocks for row in grid for wp in row)
+        self.n_blocks = NB
+        self.n_parts = max(wp.n_parts for row in grid for wp in row)
+        self.grid = [[_pad_tiles(wp, T, NB) for wp in row] for row in grid]
+        g = self.grid
+        stack = lambda f: jax.device_put(
+            np.stack([np.stack([f(w) for w in row]) for row in g]))
+        self.vals = stack(lambda w: w.vals)
+        self.idxT = stack(lambda w: w.idxT)
+        self.part = stack(lambda w: w.tile_part)
+        self.block = stack(lambda w: w.tile_block)
+        self.first = stack(lambda w: w.tile_first)
+        self.cmap = (stack(lambda w: w.class_map.reshape(-1))
+                     if g[0][0].class_map is not None else None)
+        spec = NamedSharding(mesh, P(ar, ac))
+        names = ["vals", "idxT", "part", "block", "first"]
+        if self.cmap is not None:
+            names.append("cmap")
+        for name in names:
+            setattr(self, name, jax.device_put(getattr(self, name), spec))
+        self._build()
+
+    def _build(self):
+        cfg, NB, NP = self.cfg, self.n_blocks, self.n_parts
+        interpret = self.interpret
+        ar, ac = self.ar, self.ac
+        has_cmap = self.cmap is not None
+        comb = {"plus_times": jax.lax.psum, "min_plus": jax.lax.pmin,
+                "max_times": jax.lax.pmax}[cfg.semiring]
+
+        def local(vals, idxT, part, block, first, x, *cm):
+            cmap = cm[0][0, 0] if has_cmap else None
+            y = _spmv_call(vals[0, 0], idxT[0, 0], part[0, 0], block[0, 0],
+                           first[0, 0], x[0], cmap, cfg=cfg, n_blocks=NB,
+                           n_parts=NP, interpret=interpret)
+            return comb(y, ac)[None]
+
+        in_specs = [P(ar, ac)] * 5 + [P(ac)] + ([P(ar, ac)]
+                                                if has_cmap else [])
+        self._sharded = jax.jit(jax.shard_map(
+            local, mesh=self.mesh, in_specs=tuple(in_specs),
+            out_specs=P(ar), check_vma=False))
+
+    def shard_x(self, x) -> np.ndarray:
+        """Slice the natural-order x into the (n_cols_shards, width)
+        stacked layout the sharded step consumes."""
+        nc = self.mesh.devices.shape[1]
+        w = self.cols_per_shard
+        out = np.zeros((nc, w), np.asarray(x).dtype)
+        for j in range(nc):
+            c0 = j * w
+            c1 = min(np.asarray(x).shape[0], c0 + w)
+            if c1 > c0:
+                out[j, :c1 - c0] = np.asarray(x)[c0:c1]
+        return out
+
+    def __call__(self, x) -> jax.Array:
+        """x: natural-order vector (sliced internally) or a pre-stacked
+        (n_col_shards, width) array.  Returns per-row-shard renamed y
+        blocks, shape (n_row_shards, n_blocks, stripes, 128)."""
+        x = np.asarray(x)
+        if x.ndim == 1:
+            x = self.shard_x(x)
+        extra = (self.cmap,) if self.cmap is not None else ()
+        return self._sharded(self.vals, self.idxT, self.part, self.block,
+                             self.first, jnp.asarray(x), *extra)
+
+    def unpack_y(self, y_sharded) -> np.ndarray:
+        """Assemble natural-order y on host: per row shard, undo the
+        common perm then combine hub-split partials over row_map."""
+        ys = np.asarray(y_sharded)
+        init = {"plus_times": 0.0, "min_plus": np.inf,
+                "max_times": -np.inf}[self.cfg.semiring]
+        outs = []
+        for i, row in enumerate(self.grid):
+            wp = row[0]
+            y_split = wp.unpack_y(ys[i].reshape(-1))
+            n = self.row_counts[i]
+            out = np.full(n, init, ys.dtype)
+            rm = self.row_maps[i][:y_split.shape[0]]
+            if self.cfg.semiring == "plus_times":
+                np.add.at(out, rm, y_split)
+            elif self.cfg.semiring == "min_plus":
+                np.minimum.at(out, rm, y_split)
+            else:
+                np.maximum.at(out, rm, y_split)
+                out = np.maximum(out, 0.0)
+            outs.append(out)
+        return np.concatenate(outs)

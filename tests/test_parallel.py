@@ -95,3 +95,48 @@ def test_sharded_split_auto(mesh):
     y = op.unpack_y(op(x))[:m.num_rows]
     ref = spmv_f64(m, x)
     np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4 * abs(ref).max())
+
+
+@pytest.fixture
+def mesh2d():
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    return Mesh(devs, ("rows", "cols"))
+
+
+def test_sharded_2d_matches_golden(mesh2d):
+    from hisparse_tpu.parallel.mesh import ShardedSpmv2D
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=64)
+    m = powerlaw_csr(900, 1100, 8, alpha=1.1, seed=3)
+    op = ShardedSpmv2D(m, mesh2d, cfg, split_max="auto", interpret=True)
+    x = np.random.default_rng(0).random(m.num_cols).astype(np.float32)
+    y = op.unpack_y(op(x))[:m.num_rows]
+    ref = spmv_f64(m, x)
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4 * abs(ref).max())
+
+
+def test_sharded_2d_min_plus(mesh2d):
+    from hisparse_tpu.parallel.mesh import ShardedSpmv2D
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=64,
+                     semiring="min_plus", two_choice=False)
+    m = uniform_sparse_csr(600, 900, 5, seed=4)
+    op = ShardedSpmv2D(m, mesh2d, cfg, interpret=True)
+    x = np.random.default_rng(1).random(m.num_cols).astype(np.float32)
+    y = op.unpack_y(op(x))[:m.num_rows]
+    # dense min-plus reference
+    a = m.dense()
+    mask = a != 0
+    cand = np.where(mask, a + x[None, :], np.inf)
+    ref = cand.min(axis=1)
+    ref = np.where(np.isinf(ref), np.inf, ref)
+    got = np.where(np.isinf(y), np.inf, y)
+    np.testing.assert_allclose(got[~np.isinf(ref)], ref[~np.isinf(ref)],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_2d_rejects_fixed(mesh2d):
+    from hisparse_tpu.parallel.mesh import ShardedSpmv2D
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=64, dtype="fixed",
+                     two_choice=False)
+    m = uniform_sparse_csr(300, 400, 4, seed=5)
+    with pytest.raises(ValueError):
+        ShardedSpmv2D(m, mesh2d, cfg, interpret=True)
