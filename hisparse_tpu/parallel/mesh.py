@@ -342,6 +342,23 @@ class ShardedSpmv2D:
         return self._sharded(self.vals, self.idxT, self.part, self.block,
                              self.first, jnp.asarray(x), *extra)
 
+    def perf_estimate(self, hbm_gbps: float = 819.0,
+                      ici_gbps: float = 45.0):
+        """Modeled step rate: the slowest (i, j) piece binds the SPMD
+        step, plus the cols-axis combine (a ring all-reduce over the
+        renamed y shard: 2·(nc-1)/nc · bytes over ICI at ~45 GB/s per
+        link on v5e)."""
+        from ..models.perf_model import estimate_pack
+        ests = [[estimate_pack(wp, hbm_gbps) for wp in row]
+                for row in self.grid]
+        t_comp = max(e.time_s for row in ests for e in row)
+        nc = self.mesh.devices.shape[1]
+        # stripe-folded y shard: (n_blocks, stripes, 128) fp32
+        y_bytes = self.n_blocks * self.cfg.stripes * LANES * 4
+        t_comb = (2 * (nc - 1) / max(nc, 1)) * y_bytes / (ici_gbps * 1e9)
+        nnz = sum(wp.nnz for row in self.grid for wp in row)
+        return ests, 2 * nnz / (t_comp + t_comb) / 1e9
+
     def unpack_y(self, y_sharded) -> np.ndarray:
         """Assemble natural-order y on host: per row shard, undo the
         common perm then combine hub-split partials over row_map."""
