@@ -100,6 +100,56 @@ def tune_grid(num_rows=None, avg_nnz=None):
 TUNE_CACHE_PATH = "/root/repo/bench_tuned.json"
 
 
+def wait_for_backend(max_wait_s=2400):
+    """Bounded retry for the axon tunnel before any in-process backend init.
+
+    The tunnel has gone UNAVAILABLE for multi-hour stretches and a bare
+    in-process ``jax.devices()`` can block ~25 min and then raise, burning
+    the whole round's perf artifact (round 3).  Probe in a subprocess (so a
+    hung init is killable), with exponential backoff up to ``max_wait_s``;
+    return the platform string once a device answers.  Raises only after
+    the full budget — i.e. only a genuine full-window outage yields rc!=0.
+    Mirrors scratch/wait_tpu.sh; reference analog: the host's hard exit on
+    a missing device (sw/host.cpp:566-569) made capture-proof.
+    """
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp\n"
+             "d = jax.devices()\n"
+             "jnp.ones(8).sum().block_until_ready()\n"
+             "print('PLATFORM=' + d[0].platform)\n")
+    deadline = time.monotonic() + max_wait_s
+    attempt, sleep_s = 0, 15
+    while True:
+        attempt += 1
+        budget = max(60, min(300, deadline - time.monotonic()))
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True,
+                               timeout=budget)
+            for ln in r.stdout.splitlines():
+                if ln.startswith("PLATFORM="):
+                    plat = ln.split("=", 1)[1]
+                    if attempt > 1:
+                        print(f"backend up after {attempt} probes",
+                              file=sys.stderr, flush=True)
+                    return plat
+            msg = (r.stderr or r.stdout).strip().splitlines()
+            msg = msg[-1] if msg else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            msg = f"probe timed out after {budget:.0f}s"
+        left = deadline - time.monotonic()
+        print(f"backend probe {attempt} failed ({msg}); "
+              f"{left:.0f}s left in retry budget", file=sys.stderr,
+              flush=True)
+        if left <= sleep_s:
+            raise RuntimeError(
+                f"TPU backend unavailable after {attempt} probes over "
+                f"{max_wait_s}s — tunnel outage spanned the whole retry "
+                "budget")
+        time.sleep(sleep_s)
+        sleep_s = min(120, sleep_s * 2)
+
+
 def _tune_cache_load():
     try:
         with open(TUNE_CACHE_PATH) as f:
@@ -355,7 +405,7 @@ def main():
     from hisparse_tpu.ops.spmv import resident_bytes, _RESIDENT_VMEM_BUDGET
     from hisparse_tpu.utils.bench import geomean, device_loop_time
 
-    on_tpu = jax.devices()[0].platform != "cpu"
+    on_tpu = wait_for_backend() != "cpu"
     suite = [
         ("uniform-60k-d16",
          lambda: uniform_sparse_csr(60000, 60000, 16, seed=1)),
