@@ -80,15 +80,66 @@ class SpmmOperator:
         return Y[:self.inner.num_rows]
 
 
-def choose_format(m: CSRMatrix, sample_nnz: int = 4_000_000) -> str:
+# wavepack prior for the cheap bound: typical fill and the calibrated-table
+# stream rate; only used to decide whether the decision is close enough to
+# warrant a real sampled pack (see choose_format)
+_WAVE_FILL_PRIOR = 0.5
+_WAVE_GBPS_PRIOR = 300.0
+
+
+def wavepack_time_per_nnz(m: CSRMatrix, sample_rows_max: int = 8192) -> float:
+    """Model-calibrated wavepack cost in ns/nnz: pack a row sample at the
+    regime-default design points and take the perf model's best time/nnz
+    (models/perf_model.estimate_pack — fed with the REAL fill/alpha of the
+    sampled pack and the calibrated slot-rate table, the analog of the
+    reference's instrumented-csim cost, performance_model.cpp:430-444).
+
+    Row samples overestimate fill slightly (fewer distinct columns per
+    bank), so this bound is mildly optimistic for wavepack — acceptable for
+    format dispatch where the dense/bcsr arms are exact byte counts."""
+    from ..config import SpmvConfig
+    from ..formats.wavepack import pack
+    from ..models.dse import sample_rows
+    from ..models.perf_model import estimate_pack
+
+    ms = sample_rows(m, sample_rows_max)
+    avg = ms.nnz / max(ms.num_rows, 1)
+    cands = [
+        # dense-rows regime point (bench.py density>=0.05 default)
+        (SpmvConfig(sublanes=512, bank_blocks=2, stripes=4,
+                    two_choice=True), "auto"),
+    ]
+    bm = SpmvConfig(sublanes=512, bank_blocks=8, stripes=128,
+                    two_choice=False, block_major=True, classes_per_group=2,
+                    steal_mantissa=True)
+    if ms.num_rows >= bm.rows_per_block // 8:
+        split = max(8, (1 << int(round(np.log2(max(avg, 1.0))))) // 2)
+        cands.append((bm, split))
+    best = np.inf
+    for cfg, split in cands:
+        wp = pack(ms, cfg, split_max=split, col_order="degree")
+        est = estimate_pack(wp)
+        best = min(best, est.time_s / max(wp.nnz, 1) * 1e9)
+    return best
+
+
+def choose_format(m: CSRMatrix, sample_nnz: int = 4_000_000,
+                  calibrate: bool = True) -> str:
     """Three-way format dispatch: 'wavepack' | 'bcsr' | 'dense'.
 
-    Compares estimated device time per nonzero = (stream bytes per nnz) /
-    (measured sustained stream rate of that path on this chip family):
+    Compares estimated device time per nonzero (ns/nnz).  The dense and
+    bcsr arms are exact byte counts over measured stream rates:
 
       dense     2 B/cell bf16 / density          @ ~720 GB/s (MXU stream)
       bcsr      32 KB per nonempty (128,128) block / nnz  @ ~700 GB/s
-      wavepack  8 B/slot / fill (~0.5 typical)   @ ~300 GB/s
+
+    The wavepack arm starts from a cheap prior (8 B/slot at fill ~0.5 over
+    ~300 GB/s) and, when the prior lands within 2.5x of the best
+    alternative — the regime where the prior's fixed fill constant can
+    misroute — is re-evaluated by the analytical perf model on a real
+    sampled pack (wavepack_time_per_nnz), so the crossover tracks the
+    matrix's actual fill/alpha and the chip's calibrated slot rates
+    instead of hard-coded constants.
 
     The nonempty-block count (the block-fill heuristic) is computed exactly
     up to ``sample_nnz`` nonzeros and estimated from an nnz sample above
@@ -114,7 +165,10 @@ def choose_format(m: CSRMatrix, sample_nnz: int = 4_000_000) -> str:
         nb = int(nb_s * max(1.0, m.nnz / sample_nnz) ** 0.5)
     t_dense = (2.0 / max(density, 1e-12)) / 720.0
     t_bcsr = (2.0 * 128 * 128 * nb / m.nnz) / 700.0
-    t_wave = (8.0 / 0.5) / 300.0
+    t_wave = (8.0 / _WAVE_FILL_PRIOR) / _WAVE_GBPS_PRIOR
+    t_alt = min(t_dense, t_bcsr)
+    if calibrate and t_alt / 2.5 < t_wave < t_alt * 2.5:
+        t_wave = wavepack_time_per_nnz(m)
     best = min(("wavepack", t_wave), ("bcsr", t_bcsr), ("dense", t_dense),
                key=lambda kv: kv[1])
     return best[0]

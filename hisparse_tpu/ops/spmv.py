@@ -56,30 +56,20 @@ import os as _os
 _RESIDENT_VMEM_BUDGET = int(_os.environ.get("WP_VMEM_BUDGET",
                                             10 * 1024 * 1024))
 
-# per-group transpose implementation: "auto" (MXU when the config's error
-# budget allows, else VPU) | "vpu" (lax.transpose) | "mxu" (identity
-# dot_general — runs on the otherwise-idle MXU, overlapping the VPU gather
-# pipeline; +8-11% measured slot rate) | "skip" (WRONG RESULTS; op-cost
-# probing only)
-_TRANSPOSE_MODE = "auto"
+# per-group transpose implementation (WP_TMODE env override, experiments
+# only): "auto" (MXU when the config's error budget allows, else VPU) |
+# "vpu" (lax.transpose) | "mxu" (identity dot_general — runs on the
+# otherwise-idle MXU, overlapping the VPU gather pipeline; +8-11% measured
+# slot rate).  Probe-only modes from rounds 2-3 ("skip", "mxu_hp") were
+# removed: "skip" gave wrong results and "mxu_hp" measured slower than the
+# manual hi/lo split (49.6 vs 54.4 Gslot/s, ROADMAP round 3).
+_TRANSPOSE_MODE = _os.environ.get("WP_TMODE", "auto")
 
 
 def _group_t(e, mxu_ok: bool = False):
     mode = _TRANSPOSE_MODE
     if mode == "auto":
         mode = "mxu" if mxu_ok else "vpu"
-    if mode == "skip":
-        return e
-    if mode == "mxu_hp" and jnp.issubdtype(e.dtype, jnp.floating):
-        # let Mosaic's own multi-pass f32 matmul do the exact transpose —
-        # if supported this retires the manual hi/lo split's VPU ops
-        ident = ((jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-                  == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1))
-                 .astype(jnp.float32))
-        return jax.lax.dot_general(
-            e, ident, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
     if mode == "mxu" and jnp.issubdtype(e.dtype, jnp.floating):
         # identity matmul = transpose on the otherwise-idle MXU (+8-11%
         # slot rate); a manual hi/lo bf16 split bounds the error at

@@ -40,6 +40,31 @@ def test_choose_format():
     assert choose_format(sparse_m) == "wavepack"
 
 
+def test_choose_format_crossover_calibrated():
+    """Near the dense/wavepack crossover the dispatcher re-evaluates the
+    wavepack arm with the perf model on a real sampled pack instead of the
+    fill-0.5 prior: the density ladder stays monotone, and in the ambiguous
+    band the decision agrees with the explicit model comparison (which can
+    differ from the prior's)."""
+    from hisparse_tpu.ops.dense import wavepack_time_per_nnz
+
+    picks = [choose_format(uniform_sparse_csr(512, 4096, avg, seed=8))
+             for avg in (8, 2000)]
+    assert picks == ["wavepack", "dense"]
+
+    # ambiguous band: prior (16 B/nnz / 300 GB/s = 0.053 ns/nnz) and the
+    # dense bound are within 2.5x, so the calibrated model must decide
+    m = uniform_sparse_csr(512, 4096, 160, seed=8)
+    density = m.nnz / (m.num_rows * m.num_cols)
+    t_dense = (2.0 / density) / 720.0
+    t_wave = wavepack_time_per_nnz(m)
+    got = choose_format(m)
+    if t_wave < t_dense:
+        assert got == "wavepack"
+    else:
+        assert got in ("dense", "bcsr")
+
+
 def test_bcsr_spmv():
     from hisparse_tpu.ops.bcsr import BcsrOperator
     from hisparse_tpu import powerlaw_csr
