@@ -22,11 +22,15 @@
 // all on distinct row lanes).  A wave places at most one item per gather
 // bank and each row lane once; an item may place all its free rows at once
 // (hub columns broadcast, the TPU upgrade over the reference's serializing
-// arbiter, spmv/libfpga/shuffle.h:24-99).  Each wave walks the pending
-// items by descending row count (the offline analog of the rotating-
-// priority arbiter), placing via the primary bank or the second choice,
-// with lazy swap-removal of drained items and a fruitless-streak cap
-// (see fruitless_cap) bounding blocked-item visits per walk.
+// arbiter, spmv/libfpga/shuffle.h:24-99).  Both schedulers are
+// wave-batched: pending items are visited by descending row count (the
+// offline analog of the rotating-priority arbiter) once per window of
+// 64 waves, placing each row first-fit into the lowest wave whose bank
+// and row-lane 64-bit masks allow it, via the primary bank or the second
+// choice.  The block-major variant rolls its window across tiles (classes
+// fixed at admission, fruitless-streak-capped walks); the select-chain
+// variant uses disjoint windows and needs no cap (one complete pass per
+// window).
 //
 // The Python twins (wavepack._schedule / _schedule_block_major and the
 // numpy emission in wavepack.pack) implement the identical algorithm;
@@ -59,12 +63,13 @@ inline bool wp_prof() {
 // own hugepage madvise is disabled in utils/hostmem.tune_allocator for
 // the same reason.
 inline int32_t fruitless_cap() {
-  // Blocked-item visits tolerated per wave walk before giving up.  256
-  // measured best (powerlaw fill 0.301 -> 0.315, mouse-gene 0.643 ->
-  // 0.680; 512 adds nothing).  WP_FCAP overrides for perf experiments
-  // ONLY — the Python twins hard-code the default, so a non-default
-  // value breaks byte-equality with them.  (Chain scheduler only; the
-  // block-major scheduler is wave-batched and needs no cap.)
+  // Blocked-item visits tolerated per block-major wave walk before giving
+  // up.  256 measured best (powerlaw fill 0.301 -> 0.315, mouse-gene
+  // 0.643 -> 0.680; 512 adds nothing).  WP_FCAP overrides for perf
+  // experiments ONLY — the Python twin hard-codes the default, so a
+  // non-default value breaks byte-equality with it.  (Block-major
+  // scheduler only; the select-chain scheduler completes one pass per
+  // 64-wave window and needs no cap.)
   static int32_t v = -1;
   if (v < 0) { const char* e = getenv("WP_FCAP"); v = e ? atoi(e) : 256; }
   return v;
@@ -204,42 +209,6 @@ void radix_sort(std::vector<Rec>& v, std::vector<Rec>& tmp, int64_t maxkey) {
   }
 }
 
-// Place every free row of `it` into the current wave.  Identical semantics
-// to the Python twins: visit the item's not-yet-placed records in ascending
-// offset order, skip used lanes, place the rest.  Placed records are
-// UNLINKED from the per-item alive chain (g.nxt) so hub items never
-// re-scan their dead majority — the linked walk visits exactly the records
-// the old skip-scan visited, in the same order, so the schedule (and the
-// packed bytes) are unchanged.
-template <typename Out>
-inline int32_t place_rows(Item& it, bool lanes_used[128], Out&& out) {
-  int32_t placed = 0, prev = -1;
-  const int32_t cnt = it.count;
-  int32_t o = it.alive0;
-  while (o < cnt) {
-    const int32_t idx = it.head + o;
-    const uint32_t ln = g.lamnxt[idx];
-    const int32_t nx = static_cast<int32_t>(ln & 0xFFFF);
-    const int32_t lm = static_cast<int32_t>(ln >> 16);
-    if (lanes_used[lm]) {
-      prev = o;
-      o = nx;
-      continue;
-    }
-    lanes_used[lm] = true;
-    out(idx);
-    ++placed;
-    if (prev < 0) it.alive0 = static_cast<uint16_t>(nx);
-    else
-      g.lamnxt[it.head + prev] =
-          (g.lamnxt[it.head + prev] & 0xFFFF0000u)
-          | static_cast<uint32_t>(nx);
-    o = nx;
-  }
-  it.remaining = static_cast<uint16_t>(it.remaining - placed);
-  return placed;
-}
-
 // Relabel items into their list-visit order so wave walks stream
 // sequentially through memory instead of chasing the build order.
 // `lists` = every pending list (entries rewritten in place).
@@ -263,12 +232,16 @@ void reorder_items(std::vector<std::vector<int32_t>*>& lists) {
 }
 
 // ---------------------------------------------------------------------------
-// Select-chain scheduler: per stripe, greedy per-wave matching visiting
-// pending items by descending row count (the offline analog of the
-// rotating-priority arbiter); an item uses its primary bank, or its
-// second-choice bank when the primary is taken.  Cursor walk with lazy
-// swap-removal of drained items and a fruitless-streak cap.
-// Twin: wavepack._schedule.
+// Select-chain scheduler: per stripe, wave-batched first-fit-decreasing.
+// Pending items are visited ONCE per 64-wave window in descending row
+// count order (the offline analog of the rotating-priority arbiter); each
+// free row goes to the lowest window wave where the item's bank (primary
+// first, else the second choice) is unclaimed-or-ours and the row lane is
+// free, tracked by per-lane / per-bank uint64 wave masks.  One pass per
+// window is complete (masks only grow within a window, so a failed row
+// stays failed), and a new window opens only when every wave of the old
+// one is nonempty, so wave indices stay gap-free.
+// Twin: wavepack._schedule — change BOTH.
 // ---------------------------------------------------------------------------
 void schedule_chain_segment(int64_t lo, int64_t hi) {
   static std::vector<int32_t> pend;
@@ -307,47 +280,58 @@ void schedule_chain_segment(int64_t lo, int64_t hi) {
       lists.assign(1, &pend);
       reorder_items(lists);
     }
-    const int32_t FCAP = fruitless_cap();
-    int64_t k = 0;
-    while (!pend.empty()) {
-      bool used_banks[128] = {false};
-      bool used_rows[128] = {false};
-      int32_t rows_used = 0, banks_used = 0, fruitless = 0;
-      size_t ii = 0;
-      while (ii < pend.size()) {
-        if (rows_used == 128 || banks_used == 128 || fruitless >= FCAP)
-          break;
+    int64_t k_base = 0;
+    size_t n_pend = pend.size();
+    while (n_pend) {
+      uint64_t lane_mask[128] = {0};   // per row lane: waves occupied
+      uint64_t bank_mask[128] = {0};   // per bank: waves claimed
+      size_t wr = 0;                   // stable in-place compaction
+      for (size_t ii = 0; ii < n_pend; ++ii) {
         Item& it = g.items[pend[ii]];
-        if (it.remaining == 0) {            // drained: swap-remove
-          pend[ii] = pend.back();
-          pend.pop_back();
-          continue;                          // revisit slot ii
-        }
-        int32_t lane; uint8_t ch;
-        if (!used_banks[it.b1]) { lane = it.b1; ch = 0; }
-        else if (!used_banks[it.b2]) { lane = it.b2; ch = 1; }
-        else { ++ii; ++fruitless; continue; }
-        const int32_t pl = place_rows(it, used_rows, [&](int32_t idx) {
+        uint64_t m1 = 0, m2 = 0;       // waves THIS item claimed per bank
+        int32_t placed = 0, prev = -1;
+        const int32_t cnt = it.count;
+        int32_t o = it.alive0;
+        while (o < cnt) {
+          const int32_t idx = it.head + o;
+          const uint32_t ln = g.lamnxt[idx];
+          const int32_t nx = static_cast<int32_t>(ln & 0xFFFF);
+          const int32_t lm = static_cast<int32_t>(ln >> 16);
+          const uint64_t freew = ~lane_mask[lm];
+          // INVARIANT (emission depends on this): a (wave, bank) pair is
+          // claimed by exactly one item (m1/m2 readmit only our own
+          // claims), so duplicate gather-slot writes carry identical b|h
+          // fields and OR-ing them is write-order independent.
+          uint64_t cand = (~bank_mask[it.b1] | m1) & freew;
+          int32_t lane; uint8_t ch;
+          if (cand) { lane = it.b1; ch = 0; }
+          else {
+            cand = (~bank_mask[it.b2] | m2) & freew;
+            if (!cand) { prev = o; o = nx; continue; }  // next window
+            lane = it.b2; ch = 1;
+          }
+          const int32_t w = __builtin_ctzll(cand);
+          const uint64_t bit = 1ull << w;
+          if (ch) m2 |= bit; else m1 |= bit;
+          bank_mask[lane] |= bit;
+          lane_mask[lm] |= bit;
           SchedOut& so = g.out[idx];
-          so.t = static_cast<int32_t>(k);    // wave within stripe (for now)
+          so.t = static_cast<int32_t>(k_base + w);  // wave within stripe
           so.lane = static_cast<uint8_t>(lane);
           so.flags = static_cast<uint8_t>(1 | (ch << 1));
-        });
-        if (pl > 0) {
-          // INVARIANT (emission depends on this): marking the bank used
-          // pins this wave's gather lane to this item's one column, so
-          // duplicate gather-slot writes carry identical b|h fields and
-          // OR-ing them is write-order independent.
-          used_banks[lane] = true;
-          ++banks_used;
-          rows_used += pl;
-          fruitless = 0;
-        } else {
-          ++fruitless;
+          ++placed;
+          if (prev < 0) it.alive0 = static_cast<uint16_t>(nx);
+          else
+            g.lamnxt[it.head + prev] =
+                (g.lamnxt[it.head + prev] & 0xFFFF0000u)
+                | static_cast<uint32_t>(nx);
+          o = nx;
         }
-        ++ii;
+        it.remaining = static_cast<uint16_t>(it.remaining - placed);
+        if (it.remaining) pend[wr++] = pend[ii];
       }
-      ++k;
+      n_pend = wr;
+      k_base += 64;
     }
     i = e;
   }

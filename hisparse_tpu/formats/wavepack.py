@@ -186,13 +186,24 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
         must serialize same-bank traffic even for one hot column; here a hub
         column broadcasts to up to 128 rows per wave.
 
-    Greedy: per wave, visit pending columns by remaining-rows descending
-    (the offline analog of the rotating-priority arbiter) and place every
-    still-free row of that column.  Wave count per stripe approaches the
-    optimum max(max row nnz, max per-bank distinct-column load).
+    Wave-batched first-fit-decreasing (the round-4 rewrite, same batching
+    the block-major scheduler uses): items (distinct columns) are visited
+    ONCE per 64-wave window in descending row-count order (the offline
+    analog of the rotating-priority arbiter) and place each free row into
+    the lowest window wave where (a) the item's bank is unclaimed or
+    already claimed by this item, and (b) the row lane is free — tracked
+    by per-lane / per-bank 64-bit wave masks.  One pass per window is
+    complete (masks only grow, so a row that fails a pass fails the
+    window), and a window opens only when every wave of the previous one
+    is nonempty, so wave indices stay gap-free.  Replaces the per-wave
+    cursor walk (with its fruitless-visit cap) — ~W fewer list traversals
+    at equal-or-better fill, since no placement is ever lost to the cap.
+    Wave count per stripe approaches the optimum
+    max(max row nnz, max per-bank distinct-column load).
 
-    Pure-Python reference implementation; the C++ twin in formats/native.py
-    runs the identical algorithm at dataset scale.
+    Pure-Python reference implementation; the C++ twin
+    (_scheduler.cpp::schedule_chain_segment) runs the identical algorithm
+    at dataset scale — change BOTH.
     """
     if bank2 is None:
         bank2 = bank
@@ -202,6 +213,8 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
     so = sigma[order]
     starts = np.flatnonzero(np.r_[True, so[1:] != so[:-1]])
     bounds = np.r_[starts, so.size]
+    W = 64
+    FULL = (1 << W) - 1
     for si in range(starts.size):
         lo_i, hi_i = bounds[si], bounds[si + 1]
         idxs = order[lo_i:hi_i]
@@ -210,63 +223,49 @@ def _schedule(sigma: np.ndarray, lam: np.ndarray, bank: np.ndarray,
         for nz in idxs:
             key = (int(bank[nz]), int(addr[nz]))
             items.setdefault(key, []).append(nz)
-        pending = [[len(v), key[0], int(bank2[v[0]]), v]
+        pending = [[key[0], int(bank2[v[0]]), v]
                    for key, v in items.items()]
         for ent in pending:
-            ent[3].reverse()   # pop() yields CSR order
-        pending.sort(key=lambda e: -e[0])
-        k = 0
+            ent[2].reverse()   # pop() yields CSR order
+        pending.sort(key=lambda e: -len(e[2]))
+        k_base = 0
         while pending:
-            used_banks = bytearray(LANES)
-            used_rows = bytearray(LANES)
-            rows_used = banks_used = 0
-            # cursor walk with lazy swap-removal (C++ twin:
-            # _scheduler.cpp::schedule_chain_segment); stops at bank/row
-            # exhaustion — O(visited) per wave, no list rebuild
-            ii = 0
-            fruitless = 0
-            while ii < len(pending):
-                if (rows_used == LANES or banks_used == LANES
-                        or fruitless >= 256):
-                    break
-                ent = pending[ii]
-                if ent[0] == 0:                 # drained: swap-remove
-                    pending[ii] = pending[-1]
-                    pending.pop()
-                    continue                    # revisit slot ii
-                cnt, bk1, bk2, q = ent
-                if not used_banks[bk1]:
-                    bk_, ch = bk1, 0
-                elif not used_banks[bk2]:
-                    bk_, ch = bk2, 1
-                else:
-                    ii += 1
-                    fruitless += 1
-                    continue
-                placed = 0
+            lane_mask = [0] * LANES        # per row lane: waves occupied
+            bank_mask = [0] * LANES        # per bank: waves claimed
+            nxt = []
+            for ent in pending:            # one pass, desc count order
+                bk1, bk2, q = ent
+                m1 = m2 = 0                # waves THIS item claimed per bank
                 kept = []
                 while q:
                     nz = q.pop()
-                    lm = int(lam[nz])
-                    if used_rows[lm]:
-                        kept.append(nz)
-                        continue
-                    used_rows[lm] = 1
-                    k_of[nz] = k
+                    free = ~lane_mask[int(lam[nz])] & FULL
+                    cand = (~bank_mask[bk1] | m1) & free
+                    if cand:
+                        ch = 0
+                    else:
+                        cand = (~bank_mask[bk2] | m2) & free
+                        if not cand:
+                            kept.append(nz)
+                            continue
+                        ch = 1
+                    w = (cand & -cand).bit_length() - 1
+                    bit = 1 << w
+                    if ch:
+                        m2 |= bit
+                        bank_mask[bk2] |= bit
+                    else:
+                        m1 |= bit
+                        bank_mask[bk1] |= bit
+                    lane_mask[int(lam[nz])] |= bit
+                    k_of[nz] = k_base + w
                     choice[nz] = ch
-                    placed += 1
-                kept.reverse()
-                q.extend(kept)
-                if placed:
-                    used_banks[bk_] = 1
-                    banks_used += 1
-                    rows_used += placed
-                    ent[0] = len(q)
-                    fruitless = 0
-                else:
-                    fruitless += 1
-                ii += 1
-            k += 1
+                if kept:
+                    kept.reverse()         # restore pop-stack order
+                    ent[2] = kept
+                    nxt.append(ent)
+            pending = nxt                  # stable compaction
+            k_base += W
     return k_of, choice
 
 
