@@ -135,7 +135,17 @@ struct PlanState {
   std::vector<int32_t> class_map;            // (T, G, K) flattened (bm)
   // reusable scratch
   std::vector<Item> items;
-  std::vector<std::vector<int32_t>> pend;    // bm: per (stripe, class)
+  std::vector<uint8_t> item_alive;           // bm: remaining > 0, by item id
+                                             // (dense twin of Item.remaining
+                                             // so blocked/drained probes skip
+                                             // the 24B Item load)
+  std::vector<uint64_t> placed_bits;         // bm: per-record placed flag
+                                             // (dense twin of out[].flags&1
+                                             // for the singleton sub-walk)
+  // bm: per (stripe, class) multi-item entries, packed
+  // item_id(48) | serving_lane(8) | is_primary(1) — the lane lets the
+  // walk test bank availability without touching the Item
+  std::vector<std::vector<uint64_t>> pend;
   // bm singleton fast path: per (stripe, class) packed entries
   // rec_idx(32) | lam(8) | bank(8) | primary(8) | other_class(8)
   // — scanned sequentially, no Item/Rec/chain indirection (82% of items
@@ -226,6 +236,27 @@ void reorder_items(std::vector<std::vector<int32_t>*>& lists) {
         items2.push_back(g.items[id]);
       }
       id = remap[id];
+    }
+  }
+  g.items.swap(items2);
+}
+
+// Same, for the bm packed-entry lists (item id in bits [16..]).
+void reorder_items64(std::vector<std::vector<uint64_t>*>& lists) {
+  static std::vector<int64_t> remap;
+  static std::vector<Item> items2;
+  const int64_t n = static_cast<int64_t>(g.items.size());
+  remap.assign(n, -1);
+  items2.clear();
+  items2.reserve(n);
+  for (auto* lst : lists) {
+    for (uint64_t& e : *lst) {
+      const int64_t id = static_cast<int64_t>(e >> 16);
+      if (remap[id] < 0) {
+        remap[id] = static_cast<int64_t>(items2.size());
+        items2.push_back(g.items[id]);
+      }
+      e = (static_cast<uint64_t>(remap[id]) << 16) | (e & 0xFFFF);
     }
   }
   g.items.swap(items2);
@@ -426,26 +457,34 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
   }
   const int32_t n_items = static_cast<int32_t>(g.items.size());
   double tb2 = now_s(); bm_t_build += tb2 - tb0;
-  // pending lists per (stripe, class): multi-item indices, desc count
-  // stable.  An item appears under c1 and (two-choice) under c2.
+  // pending lists per (stripe, class): packed multi-item entries
+  // (id | serving lane | is_primary), desc count stable.  An item appears
+  // under c1 (serving via b1) and (two-choice) under c2 (via b2).
   for (int32_t q = 0; q < n_items; ++q) {
-    const int32_t sg = g.recs[g.items[q].head].sigma;
-    g.pend[static_cast<size_t>(sg) * CT + g.items[q].c1].push_back(q);
-    if (g.items[q].c2 != g.items[q].c1)
-      g.pend[static_cast<size_t>(sg) * CT + g.items[q].c2].push_back(q);
+    const Item& it = g.items[q];
+    const int32_t sg = g.recs[it.head].sigma;
+    g.pend[static_cast<size_t>(sg) * CT + it.c1].push_back(
+        (static_cast<uint64_t>(q) << 16)
+        | (static_cast<uint64_t>(it.b1) << 8) | 1ull);
+    if (it.c2 != it.c1)
+      g.pend[static_cast<size_t>(sg) * CT + it.c2].push_back(
+          (static_cast<uint64_t>(q) << 16)
+          | (static_cast<uint64_t>(it.b2) << 8));
   }
   for (size_t c = 0; c < static_cast<size_t>(R) * CT; ++c) {
     std::stable_sort(g.pend[c].begin(), g.pend[c].end(),
-                     [](int32_t x, int32_t y) {
-                       return g.items[x].count > g.items[y].count; });
+                     [](uint64_t x, uint64_t y) {
+                       return g.items[x >> 16].count
+                              > g.items[y >> 16].count; });
   }
   {
-    static std::vector<std::vector<int32_t>*> lists;
+    static std::vector<std::vector<uint64_t>*> lists;
     lists.clear();
     for (size_t c = 0; c < static_cast<size_t>(R) * CT; ++c)
       if (!g.pend[c].empty()) lists.push_back(&g.pend[c]);
-    reorder_items(lists);
+    reorder_items64(lists);
   }
+  g.item_alive.assign(g.items.size(), 1);
 
   double tb3 = now_s(); bm_t_pend += tb3 - tb2;
   // Rolling-window wave batching (see bm_win/bm_adv above).  Window slots
@@ -559,22 +598,29 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
           while (ii < lst.size()) {
             if (fruitless >= FCAP) break;
             ++bm_visits;
-            Item& it = g.items[lst[ii]];
-            if (it.remaining == 0) {           // drained: swap-remove
+            const uint64_t ent = lst[ii];
+            const size_t id = static_cast<size_t>(ent >> 16);
+            if (!g.item_alive[id]) {           // drained: swap-remove
               lst[ii] = lst.back();
               lst.pop_back();
               continue;                         // revisit slot ii
             }
+            // bank-availability pre-check off the packed entry alone:
+            // avail below is a subset of avail0, so a zero here is the
+            // same fruitless outcome without the 24B Item load
+            const int32_t lane = static_cast<int32_t>((ent >> 8) & 0xFF);
+            const uint64_t avail0 = tm & ~bank_mask[lane];
+            if (!avail0) { ++ii; ++fruitless; ++bm_blocked; continue; }
+            Item& it = g.items[id];
             if (it.stamp != walk_serial) {     // lazy per-walk stamp reset
               it.stamp = walk_serial;
               it.stamp_mask = 0;
             }
-            const bool is_primary = (it.c1 == c);
-            const int32_t lane = is_primary ? it.b1 : it.b2;
+            const bool is_primary = ent & 1;
             // waves this item may still use: class selected in the tile,
             // bank free, not already placed into by this item this walk
             // (one column per (wave, bank) — the emission invariant)
-            const uint64_t avail = tm & ~bank_mask[lane] & ~it.stamp_mask;
+            const uint64_t avail = avail0 & ~it.stamp_mask;
             if (!avail) { ++ii; ++fruitless; ++bm_blocked; continue; }
             const int32_t c1 = it.c1, c2 = it.c2;
             uint64_t placed_mask = 0;
@@ -617,6 +663,7 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
               bank_mask[lane] |= placed_mask;
               it.stamp_mask |= placed_mask;
               it.remaining = static_cast<uint16_t>(it.remaining - placed);
+              if (it.remaining == 0) g.item_alive[id] = 0;
               remaining -= placed;
               pass_placed += placed;
               fruitless = 0;
@@ -627,13 +674,15 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
           }
           // singleton sub-walk: sequential scan of packed entries (no
           // Item/chain state; a single placed via its other class list
-          // is detected by its output placed flag and swap-removed)
+          // is detected by the dense placed bitset — the cache-resident
+          // twin of out[].flags&1 — and swap-removed)
           size_t jj = 0;
           while (jj < sgl.size()) {
             if (fruitless >= FCAP) break;
             const uint64_t e = sgl[jj];
             const int32_t idx = static_cast<int32_t>(e >> 32);
-            if (g.out[idx].flags & 1) {        // placed elsewhere: remove
+            if (g.placed_bits[static_cast<size_t>(idx) >> 6]
+                & (1ull << (idx & 63))) {      // placed elsewhere: remove
               sgl[jj] = sgl.back();
               sgl.pop_back();
               continue;                         // revisit slot jj
@@ -649,6 +698,7 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
             const int32_t c2 = primary ? c_oth : c;
             lane_mask[lm] |= 1ull << w;
             bank_mask[lane] |= 1ull << w;
+            g.placed_bits[static_cast<size_t>(idx) >> 6] |= 1ull << (idx & 63);
             SchedOut& so = g.out[idx];
             so.t = static_cast<int32_t>(t_base + t_win + w);
             so.s = static_cast<int16_t>(s_glob);
@@ -822,6 +872,8 @@ int64_t wp_plan(
   const int64_t n_segs = static_cast<int64_t>(g.seg_block.size());
 
   g.out.assign(nnz, SchedOut{0, 0, 0, 0, 0});
+  if (block_major)
+    g.placed_bits.assign(static_cast<size_t>(nnz + 63) / 64, 0);
   g.lamnxt.resize(nnz);
   g.class_map.clear();
   g.seg_tiles.assign(n_segs, 0);
