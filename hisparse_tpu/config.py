@@ -95,7 +95,7 @@ class SpmvConfig:
     semiring: Literal["plus_times", "min_plus", "max_times"] = "plus_times"
     block_major: bool = False
     classes_per_group: int = 4
-    
+    idx16: bool = False
 
     def __post_init__(self):
         if self.sublanes % LANES != 0:

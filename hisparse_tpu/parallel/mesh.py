@@ -33,6 +33,24 @@ from ..formats.wavepack import Wavepack, pack
 from ..ops.spmv import _spmv_call
 
 
+def ici_allreduce_time(bytes_per_device: int, n_devices: int,
+                       ici_gbps: float = 45.0) -> float:
+    """Modeled ring all-reduce time over one ICI axis.
+
+    MODEL-ONLY — no multi-chip hardware is attached to validate it; the
+    constant is the public per-link v5e ICI figure (~45 GB/s usable per
+    direction) and the shape is the standard bidirectional-ring
+    reduce-scatter + all-gather cost 2*(n-1)/n * bytes / bw (the
+    scaling-book recipe).  Latency per hop is ignored (y shards here are
+    >= tens of KB, bandwidth-dominated).  Validated only for shape:
+    monotone in bytes, ~2x bytes/bw as n grows, zero for n == 1
+    (tests/test_parallel.py)."""
+    if n_devices <= 1:
+        return 0.0
+    return (2 * (n_devices - 1) / n_devices) * bytes_per_device \
+        / (ici_gbps * 1e9)
+
+
 def _pack_one(args):
     sub, cfg, split_max = args
     return pack(sub, cfg, split_max=split_max)
@@ -89,7 +107,8 @@ def _pad_tiles(wp: Wavepack, T: int, n_blocks: int) -> Wavepack:
     return Wavepack(wp.config, wp.num_rows, wp.num_cols, n_blocks,
                     wp.n_parts, perm, vals, idxT, tile_part, tile_block,
                     tile_first, tile_last, wp.nnz,
-                    col_order=wp.col_order, class_map=class_map)
+                    col_order=wp.col_order, class_map=class_map,
+                    opt_waves=wp.opt_waves)
 
 
 class ShardedSpmv:
@@ -105,11 +124,12 @@ class ShardedSpmv:
     def __init__(self, m: CSRMatrix, mesh: Mesh,
                  config: SpmvConfig | None = None,
                  split_max: int | None | str = None,
-                 interpret: bool = False):
+                 interpret: bool = False, variant: str = "auto"):
         cfg = config or SpmvConfig()
         self.cfg = cfg
         self.mesh = mesh
         self.interpret = interpret
+        self.variant = variant
         axis = mesh.axis_names[0]
         self.axis = axis
         nd = mesh.devices.size
@@ -151,6 +171,7 @@ class ShardedSpmv:
     def _build(self):
         cfg, NB, NP = self.cfg, self.n_blocks, self.n_parts
         interpret = self.interpret
+        variant = self.variant
         axis = self.axis
 
         has_cmap = self.cmap is not None
@@ -159,7 +180,7 @@ class ShardedSpmv:
             cmap = cm[0][0] if has_cmap else None
             y = _spmv_call(vals[0], idxT[0], part[0], block[0], first[0],
                            x, cmap, cfg=cfg, n_blocks=NB,
-                           n_parts=NP, interpret=interpret)
+                           n_parts=NP, interpret=interpret, variant=variant)
             return y[None]
 
         in_specs = [P(axis)] * 5 + [P()] + ([P(axis)] if has_cmap else [])
@@ -345,9 +366,11 @@ class ShardedSpmv2D:
     def perf_estimate(self, hbm_gbps: float = 819.0,
                       ici_gbps: float = 45.0):
         """Modeled step rate: the slowest (i, j) piece binds the SPMD
-        step, plus the cols-axis combine (a ring all-reduce over the
-        renamed y shard: 2·(nc-1)/nc · bytes over ICI at ~45 GB/s per
-        link on v5e)."""
+        step, plus the cols-axis combine (ici_allreduce_time).
+
+        Returns (per-piece estimates, aggregate GOPS, t_compute_s,
+        t_combine_s) so callers can print the ICI term next to the
+        compute term."""
         from ..models.perf_model import estimate_pack
         ests = [[estimate_pack(wp, hbm_gbps) for wp in row]
                 for row in self.grid]
@@ -355,9 +378,9 @@ class ShardedSpmv2D:
         nc = self.mesh.devices.shape[1]
         # stripe-folded y shard: (n_blocks, stripes, 128) fp32
         y_bytes = self.n_blocks * self.cfg.stripes * LANES * 4
-        t_comb = (2 * (nc - 1) / max(nc, 1)) * y_bytes / (ici_gbps * 1e9)
+        t_comb = ici_allreduce_time(y_bytes, nc, ici_gbps)
         nnz = sum(wp.nnz for row in self.grid for wp in row)
-        return ests, 2 * nnz / (t_comp + t_comb) / 1e9
+        return ests, 2 * nnz / (t_comp + t_comb) / 1e9, t_comp, t_comb
 
     def unpack_y(self, y_sharded) -> np.ndarray:
         """Assemble natural-order y on host: per row shard, undo the

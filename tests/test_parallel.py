@@ -133,6 +133,46 @@ def test_sharded_2d_min_plus(mesh2d):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_paged_variant_matches(mesh):
+    """The paged kernel variant under shard_map produces the same y as the
+    resident variant (the dryrun's multi-chip paged check, in-tree)."""
+    cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=128,
+                     block_major=True, classes_per_group=2,
+                     two_choice=False, steal_mantissa=True)
+    m = powerlaw_csr(1100, 3000, 7, seed=6)
+    x = np.random.default_rng(4).random(m.num_cols).astype(np.float32)
+    y_res = ShardedSpmv(m, mesh, cfg, interpret=True)(x)
+    y_pag = ShardedSpmv(m, mesh, cfg, interpret=True, variant="paged")(x)
+    np.testing.assert_array_equal(np.asarray(y_res), np.asarray(y_pag))
+
+
+def test_ici_allreduce_model_shape():
+    """The (model-only) ICI combine term has the ring all-reduce shape:
+    zero on one device, monotone in bytes, asymptote 2*bytes/bw."""
+    from hisparse_tpu.parallel.mesh import ici_allreduce_time
+    assert ici_allreduce_time(1 << 20, 1) == 0.0
+    t2 = ici_allreduce_time(1 << 20, 2)
+    t8 = ici_allreduce_time(1 << 20, 8)
+    t256 = ici_allreduce_time(1 << 20, 256)
+    assert 0 < t2 < t8 < t256 < 2 * (1 << 20) / (45.0 * 1e9)
+    assert ici_allreduce_time(2 << 20, 8) == 2 * t8
+    # asymptote: within 1% of 2*bytes/bw at 256 devices
+    assert t256 > 0.99 * 2 * (1 << 20) / (45.0 * 1e9)
+
+
+def test_sharded_2d_perf_estimate_terms(mesh2d):
+    """perf_estimate exposes the compute and ICI-combine terms; both are
+    positive and the aggregate uses their sum."""
+    from hisparse_tpu.parallel.mesh import ShardedSpmv2D
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=64)
+    m = powerlaw_csr(900, 1100, 8, alpha=1.1, seed=3)
+    op = ShardedSpmv2D(m, mesh2d, cfg, split_max="auto", interpret=True)
+    ests, agg, t_comp, t_comb = op.perf_estimate()
+    assert t_comp > 0 and t_comb > 0
+    nnz = sum(wp.nnz for row in op.grid for wp in row)
+    np.testing.assert_allclose(agg, 2 * nnz / (t_comp + t_comb) / 1e9)
+
+
 def test_sharded_2d_rejects_fixed(mesh2d):
     from hisparse_tpu.parallel.mesh import ShardedSpmv2D
     cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=64, dtype="fixed",
