@@ -77,6 +77,11 @@ class SpmvConfig:
       classes_per_group: k, how many classes one group serves (k gathers +
         k-1 selects per group).  k=1 is pure block-major (starves thin
         stripes); k=4 balances compute vs schedule density.
+      idx16: emit the index stream as int16 instead of int32 (6 bytes/slot
+        with fp32 values instead of 8) — steal_mantissa packs store only
+        b(4)|h(7) = 11 bits per idx word, so the high half is pure padding.
+        Halves index-stream HBM traffic; the kernel widens the tile to i32
+        once in VMEM (one cheap unpack op).  Requires steal_mantissa.
       two_choice: power-of-two-choices banking — the x tile is additionally
         materialized with each 128-deep block rotated along banks by a
         per-block shift, giving every column a second candidate bank; the
@@ -130,6 +135,11 @@ class SpmvConfig:
             raise ValueError("block_major needs stripes % 128 == 0")
         if self.block_major and self.classes_per_group not in (1, 2, 4, 8):
             raise ValueError("classes_per_group must be 1, 2, 4 or 8")
+        if self.idx16 and not self.steal_mantissa:
+            raise ValueError(
+                "idx16 needs steal_mantissa: without it the idx word "
+                "carries src(7)|b(4)|h(7) = 18 bits; with it only "
+                "b(4)|h(7) = 11, which fits int16")
 
     @property
     def total_blocks(self) -> int:

@@ -794,7 +794,7 @@ int64_t wp_plan(
     int64_t* out_opt_waves);
 
 void wp_emit_full(
-    int32_t steal_mantissa, int32_t val16, uint32_t pad_bits,
+    int32_t steal_mantissa, int32_t val16, int32_t idx16, uint32_t pad_bits,
     uint32_t* vals, int32_t* idxT,
     int32_t* t_block, int32_t* t_part, int32_t* t_first, int32_t* t_last,
     int32_t* class_map, int64_t* leftover);
@@ -929,7 +929,7 @@ int64_t wp_plan(
 }
 
 void wp_emit_full(
-    int32_t steal_mantissa, int32_t val16, uint32_t pad_bits,
+    int32_t steal_mantissa, int32_t val16, int32_t idx16, uint32_t pad_bits,
     uint32_t* vals, int32_t* idxT,
     int32_t* t_block, int32_t* t_part, int32_t* t_first, int32_t* t_last,
     int32_t* class_map, int64_t* leftover) {
@@ -937,6 +937,9 @@ void wp_emit_full(
   const int64_t T = g.T_total;
   const size_t tile_words = static_cast<size_t>(S) * 128;
   uint16_t* vals16 = reinterpret_cast<uint16_t*>(vals);
+  // idx16: steal_mantissa packs carry only b(4)|h(7) per idx word, so the
+  // stream emits int16 (6 B/slot with fp32 values) — config.idx16
+  uint16_t* idxT16 = reinterpret_cast<uint16_t*>(idxT);
   const double te0 = now_s();
   if (val16) {
     const uint16_t p16 = static_cast<uint16_t>(pad_bits);
@@ -946,7 +949,8 @@ void wp_emit_full(
     for (size_t i = 0; i < static_cast<size_t>(T) * tile_words; ++i)
       vals[i] = pad_bits;
   }
-  std::memset(idxT, 0, static_cast<size_t>(T) * tile_words * 4);
+  std::memset(idxT, 0,
+              static_cast<size_t>(T) * tile_words * (idx16 ? 2 : 4));
   const double te1 = now_s();
 
   int64_t nl = 0;
@@ -976,7 +980,11 @@ void wp_emit_full(
     const int64_t grp = s >> 7, rr = s & 127;
     const size_t base = static_cast<size_t>(t) * tile_words;
     const size_t gbase = base + (static_cast<size_t>(grp) << 7) * 128;
-    idxT[gbase + static_cast<size_t>(lane) * 128 + rr] |= (bf << 7) | ha;
+    if (idx16)
+      idxT16[gbase + static_cast<size_t>(lane) * 128 + rr] |=
+          static_cast<uint16_t>((bf << 7) | ha);
+    else
+      idxT[gbase + static_cast<size_t>(lane) * 128 + rr] |= (bf << 7) | ha;
     const int32_t lm = r.lam;
     if (steal_mantissa) {
       vals[base + static_cast<size_t>(s) * 128 + lm] =

@@ -53,7 +53,8 @@ def _load():
                 ctypes.c_int64, _i64p, _i64p, _i64p]
             lib.wp_plan.restype = ctypes.c_int64
             lib.wp_emit_full.argtypes = [
-                ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_uint32,
                 _u32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i64p]
             lib.wp_emit_full.restype = None
             _lib = lib
@@ -124,7 +125,8 @@ def pack_full(indptr, indices, data, rank, col_rank, cfg,
     S, G, K = cfg.sublanes, cfg.groups, cfg.classes_per_group
     val_dtype = data.dtype if cfg.dtype in ("fixed", "bf16") else np.float32
     vals = np.empty((T, S, 128), val_dtype)
-    idxT = np.empty((T, S, 128), np.int32)
+    idx16 = getattr(cfg, "idx16", False)
+    idxT = np.empty((T, S, 128), np.int16 if idx16 else np.int32)
     t_block = np.empty(T, np.int32)
     t_part = np.empty(T, np.int32)
     t_first = np.empty(T, np.int32)
@@ -139,9 +141,9 @@ def pack_full(indptr, indices, data, rank, col_rank, cfg,
     tp2 = time.perf_counter()
     lib.wp_emit_full(
         ctypes.c_int32(int(cfg.steal_mantissa)), ctypes.c_int32(int(val16)),
-        ctypes.c_uint32(pad_bits),
+        ctypes.c_int32(int(idx16)), ctypes.c_uint32(pad_bits),
         _ptr(vals.view(np.uint16 if val16 else np.uint32), _u32p),
-        _ptr(idxT, _i32p),
+        idxT.ctypes.data_as(_i32p),    # C++ reinterprets as u16 when idx16
         _ptr(t_block, _i32p), _ptr(t_part, _i32p),
         _ptr(t_first, _i32p), _ptr(t_last, _i32p),
         _ptr(cmap, _i32p) if cmap is not None else None,

@@ -399,10 +399,11 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
         print(f"pack: rename {_time.perf_counter()-_tp:.2f}s",
               file=_sys.stderr)
         _tp = _time.perf_counter()
+    idx_dtype = np.int16 if cfg.idx16 else np.int32
     if nnz_total == 0:
         pad0 = np.inf if cfg.semiring == "min_plus" else 0
         vals = np.full((1, S, LANES), pad0, val_dtype)
-        idxT = np.zeros((1, S, LANES), np.int32)
+        idxT = np.zeros((1, S, LANES), idx_dtype)
         t_block_arr = np.zeros(1, np.int32)
         t_part_arr = np.zeros(1, np.int32)
         first = np.ones(1, np.int32)
@@ -581,7 +582,7 @@ def pack(m: CSRMatrix, config: SpmvConfig | None = None,
             bfield = (ao // 128).astype(np.int32)
             ha_field = (ao % 128).astype(np.int32)
         va = np.full((T_total, S, LANES), pad_val, val_dtype)
-        packed = np.zeros((T_total, S, LANES), np.int32)
+        packed = np.zeros((T_total, S, LANES), idx_dtype)
         # gather-role fields at (t, s, gather lane); dest-role at
         # (t, s, row lane)
         packed[t_glob, s_loc, lane_used] |= (bfield << 7) | ha_field
@@ -722,7 +723,8 @@ def save_wavepack(path, wp: Wavepack) -> None:
         path,
         cfg=np.array([cfg.sublanes, cfg.bank_blocks, cfg.stripes,
                       int(cfg.steal_mantissa), int(cfg.two_choice),
-                      int(cfg.block_major), cfg.classes_per_group],
+                      int(cfg.block_major), cfg.classes_per_group,
+                      int(cfg.idx16)],
                      np.int64),
         cfg_dtype=np.array(cfg.dtype),
         cfg_semiring=np.array(cfg.semiring),
@@ -745,12 +747,14 @@ def load_wavepack(path) -> Wavepack:
         if len(c) < 7:
             raise ValueError(
                 "wavepack file predates full-config persistence; re-pack")
-        S, B, R, steal, twoc, bm, K = c
+        S, B, R, steal, twoc, bm, K = c[:7]
+        i16 = bool(c[7]) if len(c) > 7 else False
         cfg = SpmvConfig(sublanes=S, bank_blocks=B, stripes=R,
                          dtype=str(f["cfg_dtype"]),
                          steal_mantissa=bool(steal), two_choice=bool(twoc),
                          semiring=str(f["cfg_semiring"]),
-                         block_major=bool(bm), classes_per_group=K)
+                         block_major=bool(bm), classes_per_group=K,
+                         idx16=i16)
         dims = [int(v) for v in f["dims"]]
         nr, nc, nb, npart, nnz = dims[:5]
         opt_waves = dims[5] if len(dims) > 5 else 0

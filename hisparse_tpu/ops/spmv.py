@@ -196,6 +196,10 @@ def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig, cls_ids=None,
                wrap: bool = False):
     """``xt`` is the loaded (CT,128,128) block array for the select-chain
     path, or a ref-getter function c -> (128,128) for block-major."""
+    if idx.dtype != jnp.int32:
+        # idx16 stream: widen once in VMEM (values are 11-bit nonnegative,
+        # so the sign-extension is a no-op); HBM traffic stays 2 B/slot
+        idx = idx.astype(jnp.int32)
     if cfg.block_major:
         n_ops = cfg.classes_per_group
         get = lambda cast: lambda g, i: cast(xt(cls_ids[g][i]))

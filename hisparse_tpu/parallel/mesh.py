@@ -84,7 +84,7 @@ def _pad_tiles(wp: Wavepack, T: int, n_blocks: int) -> Wavepack:
                            np.full((extra, S, LANES), pad_val,
                                    wp.vals.dtype)])
     idxT = np.concatenate([wp.idxT,
-                           np.zeros((extra, S, LANES), np.int32)])
+                           np.zeros((extra, S, LANES), wp.idxT.dtype)])
     lastb = wp.n_blocks - 1
     tile_part = np.concatenate([wp.tile_part, np.zeros(extra, np.int32)])
     tile_block = np.concatenate([wp.tile_block,

@@ -452,6 +452,69 @@ def test_locality_row_order_roundtrip():
         pack(m, cfg, row_order="bogus")
 
 
+def test_idx16_stream():
+    """int16 index stream: steal_mantissa packs carry only b(4)|h(7) per
+    idx word, so idx16 emits 6 B/slot (fp32 values).  Decode roundtrip,
+    native/Python twin byte-equality, save/load persistence, and the
+    config guard (non-steal packs need the 7-bit src field too)."""
+    import pytest
+    from hisparse_tpu.formats import native
+    from hisparse_tpu.formats.wavepack import save_wavepack, load_wavepack
+    m = powerlaw_csr(900, 1800, 8, alpha=1.2, seed=34)
+    for cfg in (
+        SpmvConfig(sublanes=128, bank_blocks=2, stripes=128,
+                   steal_mantissa=True, two_choice=True, idx16=True),
+        SpmvConfig(sublanes=128, bank_blocks=4, stripes=128,
+                   block_major=True, classes_per_group=2, two_choice=False,
+                   steal_mantissa=True, idx16=True),
+    ):
+        wp = pack(m, cfg, split_max=16, col_order="degree")
+        assert wp.idxT.dtype == np.int16
+        assert wp.stream_bytes == wp.num_tiles * cfg.tile_slots * 6
+        d = np.abs(decode(wp).to_scipy() - m.to_scipy()).max()
+        assert d <= 2e-5 * np.abs(m.data).max()   # mantissa-steal budget
+        if native.available():
+            orig_avail = native.available
+            native.available = lambda: False
+            try:
+                wp_p = pack(m, cfg, split_max=16, col_order="degree")
+            finally:
+                native.available = orig_avail
+            assert wp_p.idxT.dtype == np.int16
+            assert wp.vals.tobytes() == wp_p.vals.tobytes()
+            assert wp.idxT.tobytes() == wp_p.idxT.tobytes()
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "wp16.npz")
+        save_wavepack(p, wp)
+        wp2 = load_wavepack(p)
+        assert wp2.config.idx16 and wp2.idxT.dtype == np.int16
+        assert np.array_equal(wp2.idxT, wp.idxT)
+    with pytest.raises(ValueError):
+        SpmvConfig(sublanes=128, bank_blocks=2, stripes=128, idx16=True)
+
+
+def test_idx16_spmv_vs_golden():
+    """End-to-end idx16 SpMV through the interpret kernel (csim oracle):
+    the kernel widens the int16 tile in VMEM and decodes identically."""
+    from hisparse_tpu.ops.spmv import SpmvOperator
+    from hisparse_tpu.ops.golden import spmv_f64
+    for cfg in (
+        SpmvConfig(sublanes=128, bank_blocks=2, stripes=64,
+                   steal_mantissa=True, two_choice=True, idx16=True),
+        SpmvConfig(sublanes=256, bank_blocks=4, stripes=128,
+                   block_major=True, classes_per_group=2, two_choice=True,
+                   steal_mantissa=True, idx16=True),
+    ):
+        m = powerlaw_csr(900, 2500, 7, seed=35)
+        wp = pack(m, cfg, split_max=16)
+        x = np.random.default_rng(0).random(m.num_cols).astype(np.float32)
+        y = SpmvOperator(wp, interpret=True)(x)
+        ref = spmv_f64(m, x)
+        err = np.abs(y - ref).max() / max(np.abs(ref).max(), 1)
+        assert err < 1e-4, err
+
+
 def test_scheduler_window_twin_and_roundtrip():
     """Non-default rolling-window settings (bm_win/bm_adv) keep the C++
     and Python block-major scheduler twins byte-identical and the packed
