@@ -1,43 +1,168 @@
-"""Real-chip smoke + perf check for the SpMV kernel."""
-import sys, time
+"""Real-chip smoke + perf check + compiled-vs-interpret parity sweep.
+
+Usage:  python scripts/tpu_check.py [parity|smoke|all]   (default: all)
+
+The parity sweep is the analog of the reference's csim-vs-hw agreement
+(spmv_csim/csim.cpp:597-613): the compiled Pallas kernel (wrap=True
+unmasked mod-128 lane gathers, MXU identity-matmul transpose,
+steal-mantissa raw-bits routing) is asserted against the interpret oracle
+(masked decode, exact VPU transpose — the csim) across a seeded sweep of
+every SpmvConfig family, and the recorded result is written to
+parity_tpu.json at the repo root so the pass is a committed artifact, not
+a one-off probe.
+"""
+import json
+import sys
+import time
+
 sys.path.insert(0, "/root/repo")
 import jax
+
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 import jax.numpy as jnp
 import numpy as np
 
-from hisparse_tpu import SpmvConfig, uniform_sparse_csr, powerlaw_csr, pack, SpmvOperator
-from hisparse_tpu.ops.golden import spmv_f64
+from hisparse_tpu import (SpmvConfig, uniform_sparse_csr, powerlaw_csr,
+                          pack, SpmvOperator)
+from hisparse_tpu.ops.golden import spmv_f64, float_to_fixed, spmv_fixed_vec
 
-cfg = SpmvConfig(sublanes=512, bank_blocks=2, stripes=512)
-print("packing...", flush=True)
-t0 = time.perf_counter()
-m = uniform_sparse_csr(60000, 60000, 16, seed=1)   # ~1M nnz
-wp = pack(m, cfg)
-print(f"pack: {time.perf_counter()-t0:.1f}s  tiles={wp.num_tiles} fill={wp.fill:.3f}", flush=True)
 
-op = SpmvOperator(wp)
-x = jax.device_put(np.random.default_rng(0).random(m.num_cols).astype(np.float32))
-t0 = time.perf_counter()
-y = op(x)
-print(f"first call (compile): {time.perf_counter()-t0:.1f}s", flush=True)
-ref = spmv_f64(m, x)
-scale = max(abs(ref).max(), 1)
-err = np.abs(y - ref).max() / scale
-print("CORRECT" if err < 1e-4 else "WRONG", "err", err, flush=True)
+def parity_sweep():
+    """Compiled == interpret across every config family; returns the
+    record dict (also written to parity_tpu.json)."""
+    fams = []
 
-# slope timing of the jitted call (renamed=True to avoid host unpermute)
-def run(reps):
+    def fam(name, cfg, tol, nc_extra=0, split=16, variant="auto"):
+        fams.append((name, cfg, tol, nc_extra, split, variant))
+
+    # exact paths (no MXU transpose): tolerance is bit-level agreement
+    # between the wrap-mod-128 compiled decode and the masked interpret
+    # decode; MXU-transpose paths (steal_mantissa fp32 plus_times) carry
+    # the hi/lo bf16 split budget ~2^-15.5
+    fam("chain-fp32", SpmvConfig(sublanes=256, bank_blocks=2, stripes=128,
+                                 two_choice=True), 1e-6)
+    fam("chain-steal-mxu", SpmvConfig(sublanes=256, bank_blocks=2,
+                                      stripes=128, two_choice=True,
+                                      steal_mantissa=True), 1e-4)
+    fam("chain-steal-idx16", SpmvConfig(sublanes=256, bank_blocks=2,
+                                        stripes=128, two_choice=True,
+                                        steal_mantissa=True, idx16=True),
+        1e-4)
+    fam("bm-k2-steal", SpmvConfig(sublanes=256, bank_blocks=8, stripes=128,
+                                  two_choice=False, block_major=True,
+                                  classes_per_group=2, steal_mantissa=True),
+        1e-4)
+    fam("bm-k4-tc", SpmvConfig(sublanes=256, bank_blocks=4, stripes=128,
+                               two_choice=True, block_major=True,
+                               classes_per_group=4, steal_mantissa=True),
+        1e-4)
+    fam("bm-k2-idx16", SpmvConfig(sublanes=256, bank_blocks=8, stripes=128,
+                                  two_choice=False, block_major=True,
+                                  classes_per_group=2, steal_mantissa=True,
+                                  idx16=True), 1e-4)
+    fam("fixed-q8.24", SpmvConfig(sublanes=128, bank_blocks=2, stripes=64,
+                                  dtype="fixed", two_choice=False), 0.0)
+    fam("bf16-stream", SpmvConfig(sublanes=128, bank_blocks=2, stripes=64,
+                                  dtype="bf16"), 1e-6)
+    fam("min-plus", SpmvConfig(sublanes=128, bank_blocks=2, stripes=64,
+                               semiring="min_plus", two_choice=False), 1e-6)
+    fam("max-times", SpmvConfig(sublanes=128, bank_blocks=2, stripes=64,
+                                semiring="max_times", two_choice=False),
+        1e-6)
+    # multi-partition paged pipeline (scalar-prefetched XT/y paging)
+    fam("paged-multipart", SpmvConfig(sublanes=128, bank_blocks=1,
+                                      stripes=128, two_choice=False),
+        1e-6, nc_extra=3 * 128 * 128, variant="paged")
+    fam("paged-bm", SpmvConfig(sublanes=256, bank_blocks=2, stripes=128,
+                               two_choice=False, block_major=True,
+                               classes_per_group=2, steal_mantissa=True),
+        1e-4, nc_extra=2 * 2 * 128 * 128, variant="paged")
+
+    rec = {"platform": jax.devices()[0].platform,
+           "device": str(jax.devices()[0]), "families": {}, "ok": True}
+    for i, (name, cfg, tol, nc_extra, split, variant) in enumerate(fams):
+        nc = cfg.vb_cols + nc_extra
+        m = powerlaw_csr(2000, nc, 9, alpha=1.2, seed=40 + i)
+        if cfg.dtype == "fixed":
+            import dataclasses as _dc
+            m = _dc.replace(m, data=float_to_fixed(
+                np.abs(m.data) / (4 * 9)))
+        wp = pack(m, cfg, split_max=split)
+        x = np.random.default_rng(100 + i).random(m.num_cols)
+        if cfg.dtype == "fixed":
+            x = float_to_fixed(x)
+        else:
+            x = x.astype(np.float32)
+        t0 = time.perf_counter()
+        y_hw = np.asarray(SpmvOperator(wp, interpret=False,
+                                       variant=variant)(x))
+        y_sim = np.asarray(SpmvOperator(wp, interpret=True,
+                                        variant=variant)(x))
+        if cfg.dtype == "fixed":
+            err = float(np.abs(y_hw.astype(np.int64)
+                               - y_sim.astype(np.int64)).max())
+            ok = err <= tol
+        else:
+            finite = np.isfinite(y_sim)
+            scale = max(np.abs(y_sim[finite]).max(), 1.0)
+            err = float(np.abs(y_hw[finite] - y_sim[finite]).max() / scale)
+            ok = err <= tol and bool((np.isfinite(y_hw) == finite).all())
+        rec["families"][name] = {"err": err, "tol": tol, "ok": bool(ok),
+                                 "nnz": int(m.nnz),
+                                 "secs": round(time.perf_counter() - t0, 1)}
+        rec["ok"] = rec["ok"] and bool(ok)
+        print(f"{'OK ' if ok else 'BAD'} {name:18s} err {err:.2e} "
+              f"(tol {tol:g}) {time.perf_counter()-t0:5.1f}s", flush=True)
+    with open("/root/repo/parity_tpu.json", "w") as f:
+        json.dump(rec, f, indent=1)
+    print(("PARITY PASS" if rec["ok"] else "PARITY FAIL")
+          + " -> parity_tpu.json", flush=True)
+    return rec
+
+
+def smoke():
+    cfg = SpmvConfig(sublanes=512, bank_blocks=2, stripes=512)
+    print("packing...", flush=True)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        o = op(x, renamed=True)
-    np.asarray(jnp.sum(o))
-    return time.perf_counter() - t0
-run(2); t1 = run(4); t2 = run(24)
-dt = (t2 - t1) / 20
-nnz = m.nnz
-slots = wp.num_tiles * cfg.tile_slots
-print(f"kernel: {dt*1e3:.3f} ms | {nnz*8/dt/1e9:.1f} GBPS | {2*nnz/dt/1e9:.1f} GOPS | "
-      f"slot rate {slots/dt/1e9:.1f} Gslot/s | stream {wp.stream_bytes/dt/1e9:.1f} GB/s", flush=True)
+    m = uniform_sparse_csr(60000, 60000, 16, seed=1)   # ~1M nnz
+    wp = pack(m, cfg)
+    print(f"pack: {time.perf_counter()-t0:.1f}s  tiles={wp.num_tiles} "
+          f"fill={wp.fill:.3f}", flush=True)
+
+    op = SpmvOperator(wp)
+    x = jax.device_put(
+        np.random.default_rng(0).random(m.num_cols).astype(np.float32))
+    t0 = time.perf_counter()
+    y = op(x)
+    print(f"first call (compile): {time.perf_counter()-t0:.1f}s", flush=True)
+    ref = spmv_f64(m, x)
+    scale = max(abs(ref).max(), 1)
+    err = np.abs(y - ref).max() / scale
+    print("CORRECT" if err < 1e-4 else "WRONG", "err", err, flush=True)
+
+    # slope timing of the jitted call (renamed=True avoids host unpermute)
+    def run(reps):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = op(x, renamed=True)
+        np.asarray(jnp.sum(o))
+        return time.perf_counter() - t0
+    run(2); t1 = run(4); t2 = run(24)
+    dt = (t2 - t1) / 20
+    nnz = m.nnz
+    slots = wp.num_tiles * cfg.tile_slots
+    print(f"kernel: {dt*1e3:.3f} ms | {nnz*8/dt/1e9:.1f} GBPS | "
+          f"{2*nnz/dt/1e9:.1f} GOPS | slot rate {slots/dt/1e9:.1f} Gslot/s "
+          f"| stream {wp.stream_bytes/dt/1e9:.1f} GB/s", flush=True)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode in ("parity", "all"):
+        rec = parity_sweep()
+        if not rec["ok"]:
+            sys.exit(1)
+    if mode in ("smoke", "all"):
+        smoke()
