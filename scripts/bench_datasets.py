@@ -1,14 +1,17 @@
 """FPGA'22-shaped benchmark sweep — the bm.sh analog (sw/bm.sh:1-35).
 
 The real datasets are unreachable here (zero network egress), so each entry
-is a synthetic stand-in with the published shape and density (paper Table 2):
-graph suite scaled to fit the staging budget (the tunnel uploads ~16 MB/s),
-pruned-NN suite at full size.  Reference per-dataset GOPS from paper Table 3
-are printed alongside (BASELINE.md).
+is a synthetic stand-in with the published shape and density (paper
+Table 2): the full 12-entry suite — 6 graphs including the
+ogbn-products-shape 124M-nnz and hollywood-shape 113M-nnz tiers, and the 6
+pruned-NN layers at full published size.  Reference per-dataset GOPS from
+paper Table 3 are printed alongside (BASELINE.md), and the whole run is
+recorded to BENCH_DATASETS.json at the repo root.
 
-Usage: python scripts/bench_datasets.py [--scale 0.25]
+Usage: python scripts/bench_datasets.py [--scale 1.0] [--only NAME ...]
 """
 import argparse
+import json
 import sys
 import time
 
@@ -24,36 +27,49 @@ REF_GOPS = {
 }
 
 
-def suite(scale: float):
-    from hisparse_tpu import uniform_sparse_csr, powerlaw_csr
-    # scale shrinks only the giant graphs (upload budget); matrices under
-    # ~200K rows run at their published sizes
+def suite(scale: float, only=None):
+    """Yields (name, matrix) lazily — one giant matrix in memory at a
+    time.  Published shapes/densities per paper Table 2; graph character
+    per family: power-law skew for the social graphs, R-MAT (skew + edge
+    locality) for pokec/hollywood/products, near-uniform rows for
+    ogbl-ppa."""
+    from hisparse_tpu import uniform_sparse_csr, powerlaw_csr, rmat_csr
     s = lambda n: max(1, int(n * scale)) if n > 200000 else n
-    out = []
-    # graph suite (shape/density per paper Table 2), power-law skew
-    out.append(("mouse_gene", powerlaw_csr(s(45000), s(45000),
-                                           0.0142 * min(45000, s(45000)),
-                                           1.4, seed=10)))
-    out.append(("googleplus", powerlaw_csr(s(108000), s(108000),
-                                           127.0, 1.2, seed=11)))
-    from hisparse_tpu import rmat_csr
-    out.append(("pokec", rmat_csr(s(1632000), s(1632000), 19.0, seed=12)))
-    # hollywood at published shape: 1.07M rows, 113M nnz (sw/bm.sh:4-17,
-    # run on hw by sw/host.cpp:335-357) — the >=100M-nnz scale tier
-    out.append(("hollywood", rmat_csr(s(1069000), s(1069000), 106.0,
-                                      seed=13)))
+    gens = [
+        ("mouse_gene", lambda: powerlaw_csr(45000, 45000, 639.0, 1.4,
+                                            seed=10)),
+        ("googleplus", lambda: powerlaw_csr(108000, 108000, 127.0, 1.2,
+                                            seed=11)),
+        ("ogbl_ppa", lambda: uniform_sparse_csr(s(576000), s(576000), 73,
+                                                seed=15)),
+        ("pokec", lambda: rmat_csr(s(1632000), s(1632000), 19.0, seed=12)),
+        # hollywood at published shape: 1.07M rows, 113M nnz (sw/bm.sh)
+        ("hollywood", lambda: rmat_csr(s(1069000), s(1069000), 106.0,
+                                       seed=13)),
+        # ogbn-products at published shape: 2.45M rows, 124M nnz — the
+        # reference's largest benchmark (paper Tables 3/8)
+        ("ogbn_products", lambda: rmat_csr(s(2449000), s(2449000), 50.7,
+                                           seed=14)),
+    ]
     # pruned-NN suite, full size (512 x 33288 at 50..5% density)
-    for pct in (50, 70, 90, 95):
+    for pct in (50, 60, 70, 80, 90, 95):
         d = (100 - pct) / 100.0
-        out.append((f"transformer_{pct}",
-                    uniform_sparse_csr(512, 33288, int(33288 * d), seed=pct)))
-    return out
+        gens.append((f"transformer_{pct}",
+                     lambda d=d, pct=pct: uniform_sparse_csr(
+                         512, 33288, int(33288 * d), seed=pct)))
+    for name, gen in gens:
+        if only and name not in only:
+            continue
+        yield name, gen()
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", type=float, default=0.25,
+    ap.add_argument("--scale", type=float, default=1.0,
                     help="graph size scale factor (1.0 = published sizes)")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="run only these entries")
+    ap.add_argument("--out", default="/root/repo/BENCH_DATASETS.json")
     args = ap.parse_args()
 
     import jax
@@ -62,11 +78,13 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     from hisparse_tpu.ops.dense import DenseOperator, choose_format
     from hisparse_tpu.utils.bench import geomean, device_loop_time
-    from bench import bench_entry
+    from bench import bench_entry, wait_for_backend
 
-    on_tpu = jax.devices()[0].platform != "cpu"
+    on_tpu = wait_for_backend() != "cpu"
+    rec = {"scale": args.scale, "on_tpu": on_tpu, "entries": {}}
     ours, theirs = [], []
-    for name, m in suite(args.scale):
+    for name, m in suite(args.scale, args.only):
+        t0 = time.perf_counter()
         met, ok, cfg, wp = bench_entry(name, m, on_tpu)
         best = met.gops if ok else 0.0
         if choose_format(m) == "dense":
@@ -81,11 +99,27 @@ def main():
             best = max(best, 2 * m.nnz / dt / 1e9)
         rg = REF_GOPS.get(name, float("nan"))
         print(f"    best {best:7.1f} GOPS | U280 ref {rg:5.1f} GOPS",
-              flush=True)
+              file=sys.stderr, flush=True)
+        rec["entries"][name] = {
+            "rows": m.num_rows, "cols": m.num_cols, "nnz": int(m.nnz),
+            "ok": bool(ok), "gops": round(best, 2), "ref_gops": rg,
+            "preproc_s": round(met.preproc_s, 2),
+            "spmv_ms": round(met.spmv_ms, 4),
+            "fill": round(met.fill, 3),
+            "roofline_frac": round(met.roofline_frac, 3),
+            "wall_s": round(time.perf_counter() - t0, 1)}
         ours.append(best)
         theirs.append(rg)
-    print(f"geomean: ours {geomean(ours):.1f} GOPS | "
-          f"U280 {geomean([t for t in theirs if t == t]):.1f} GOPS")
+        del m, wp
+        with open(args.out, "w") as f:       # checkpoint after each entry
+            json.dump(rec, f, indent=1)
+    rec["geomean_gops"] = round(geomean(ours), 2)
+    rec["ref_geomean_gops"] = round(
+        geomean([t for t in theirs if t == t]), 2)
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"geomean: ours {rec['geomean_gops']:.1f} GOPS | "
+          f"U280 {rec['ref_geomean_gops']:.1f} GOPS -> {args.out}")
 
 
 if __name__ == "__main__":
