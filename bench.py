@@ -248,13 +248,17 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
              2 * base, "locality"),
         ]
         best = None
+        wp_c = None
         for cfg_c, sm, ro_c in dict.fromkeys(cands):
+            wp_c = None       # free before repacking (heap reuse — see
+            #                   the window-ladder comment below)
             wp_c = pack(m, cfg_c, split_max=sm, col_order=co,
                         row_order=ro_c)
             g = estimate(m, cfg_c, wp_c).gops
             if best is None or g > best[0]:
-                best = (g, cfg_c, sm, ro_c, wp_c)
-        _, cfg, split, ro, wp = best
+                best = (g, cfg_c, sm, ro_c)
+        wp_c = None
+        _, cfg, split, ro = best
     else:
         co = col_order    # hub columns into the first classes
         from hisparse_tpu.models.dse import explore
@@ -305,7 +309,9 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
                 per_fam[f] = per_fam.get(f, 0) + 1
                 cands.append((p.cfg, splits[0]))
         stage1 = []
+        wp_c = None
         for cfg_c, sm in cands:
+            wp_c = None       # free before repacking (heap reuse)
             wp_c = pack(m, cfg_c, split_max=sm, col_order=co)
             g = estimate(m, cfg_c, wp_c).gops
             stage1.append((g, cfg_c, sm))
@@ -324,10 +330,12 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
                 break
         for cfg_c in ladder:
             for sm in splits[1:]:
+                wp_c = None   # free before repacking (heap reuse)
                 wp_c = pack(m, cfg_c, split_max=sm, col_order=co)
                 g = estimate(m, cfg_c, wp_c).gops
                 if g > best[0]:
                     best = (g, cfg_c, sm)
+        wp_c = None
         _, cfg, split = best
     if cfg.block_major and (cached is None or bw is None):
         # scheduler-window ladder on the chosen design point: the rolling
@@ -337,8 +345,13 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
         # modeled GOPS; near-ties (<0.5%) keep the earliest candidate
         from hisparse_tpu.models.perf_model import estimate as _est
         wbest = None
+        wp = wp_c = None      # free any tuner pack BEFORE packing again:
+        # holding two packs alive doubles the heap high-water, and on
+        # these hosts memory past the first few GB is provisioned at
+        # 10-100 MB/s (utils/hostmem.py) — reuse beats growth by 10-100x
         for bw_c, ba_c in ((1, 1), (16, 4), (64, 2)):
             tw = time.perf_counter()
+            wp_c = None
             wp_c = pack(m, cfg, split_max=split, col_order=co, row_order=ro,
                         bm_win=bw_c, bm_adv=ba_c)
             g = _est(m, cfg, wp_c).gops
@@ -346,6 +359,7 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
             if wbest is None or g > wbest[0] * 1.005:
                 wbest = (g, bw_c, ba_c, dtw)
         _, bw, ba, _ = wbest
+        wp_c = None
     if dtype == "fixed":
         import dataclasses as _dc
         cfg = _dc.replace(cfg, dtype="fixed", steal_mantissa=False)
@@ -359,6 +373,7 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
     # baked into the bitstream; auto-tuning has no analog there and is a
     # one-time per-matrix cost, reported separately in the tag)
     t1 = time.perf_counter()
+    wp = None                 # free the tuner's pack first (heap reuse)
     wp = pack(m, cfg, split_max=split, col_order=co, row_order=ro,
               bm_win=bw, bm_adv=ba)
     pre = time.perf_counter() - t1

@@ -377,7 +377,7 @@ void schedule_chain_segment(int64_t lo, int64_t hi) {
 // ---------------------------------------------------------------------------
 double bm_t_build = 0, bm_t_cover = 0, bm_t_pend = 0, bm_t_wave = 0;
 int64_t bm_visits = 0, bm_blocked = 0, bm_chain = 0, bm_placed = 0,
-        bm_passes = 0, bm_walks = 0;
+        bm_passes = 0, bm_walks = 0, bm_sgl = 0;
 
 void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
                          int32_t bm_win, int32_t bm_adv,
@@ -679,6 +679,7 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
           size_t jj = 0;
           while (jj < sgl.size()) {
             if (fruitless >= FCAP) break;
+            ++bm_sgl;
             const uint64_t e = sgl[jj];
             const int32_t idx = static_cast<int32_t>(e >> 32);
             if (g.placed_bits[static_cast<size_t>(idx) >> 6]
@@ -911,11 +912,11 @@ int64_t wp_plan(
             tp1 - tp0, tp2 - tp1, now_s() - tp2,
             bm_t_build, bm_t_cover, bm_t_pend, bm_t_wave);
     fprintf(stderr, "bm counters: passes %ld visits %ld blocked %ld"
-            " chain %ld nnz %ld\n",
+            " chain %ld sgl %ld nnz %ld\n",
             (long)bm_passes, (long)bm_visits, (long)bm_blocked,
-            (long)bm_chain, (long)g.nnz);
+            (long)bm_chain, (long)bm_sgl, (long)g.nnz);
     bm_t_build = bm_t_cover = bm_t_pend = bm_t_wave = 0;
-    bm_visits = bm_blocked = bm_chain = bm_passes = 0;
+    bm_visits = bm_blocked = bm_chain = bm_passes = bm_sgl = 0;
   }
   int64_t nleft = 0;
   if (block_major) {

@@ -27,6 +27,18 @@ the high-water mark is reused across passes and packs.  Measured effect on
 this class of host: np.sort of 27M int64 drops 19 s -> 1.9 s; first-touch
 of a fresh 316 MB buffer drops 6.6 s -> 0.17 s.  Idempotent; each knob is
 independently a no-op where unavailable.
+
+4. (round-4 measurement) Beyond the fixes above there is a HOST-side
+   provisioning wall: the first ~3 GB of fresh memory faults at
+   1-2 GB/s, after which new physical pages arrive at only 10-100 MB/s
+   (microVM ballooning; freed pages go back cold, so the budget is
+   global and moving, not per-process).  Nothing in-process can speed
+   that up — the countermeasure is to keep the heap HIGH-WATER at one
+   working set: always drop the previous pack before building the next
+   (reused heap pages stay fast) and never hold two giant packs alive
+   at once.  bench.py's tuner loops do this explicitly.  A 124M-nnz
+   pack has a ~13 GB working set, so its FIRST run in a process pays
+   minutes of one-time provisioning regardless of algorithm.
 """
 from __future__ import annotations
 
