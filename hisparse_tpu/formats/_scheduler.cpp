@@ -509,6 +509,26 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
   for (size_t cc = 0; cc < static_cast<size_t>(R) * CT; ++cc)
     if (!g.pend[cc].empty() || !g.pend1[cc].empty())
       has_pend[cc >> 6] |= 1ull << (cc & 63);
+  // Forward-only exam cursors, per (walk, class).  Within a window
+  // "epoch" (no new tile-mask bit for this (g, c)) the lane/bank masks
+  // only grow and shift identically with the tile mask on advance, so an
+  // entry found blocked stays blocked until a fresh admitted tile
+  // selects the class — re-scanning it is provably fruitless.  Each exam
+  // therefore RESUMES where the previous one stopped (cursor), and the
+  // cursor resets to 0 whenever the tile mask gains a new bit (so hubs
+  // regain first-priority at every admission).  Compared to the old
+  // restart-at-0 walk this both eliminates the blocked-prefix re-scans
+  // (mouse-gene: 260M singleton visits for 27M placements) AND lets the
+  // fruitless cap spend its budget on never-examined entries instead of
+  // the same stuck prefix — deeper lists now get coverage, so fill can
+  // only improve.  prev_tm is shifted on advance so bit positions always
+  // name the same physical tile.  SCHEDULE-CHANGING: the Python twin
+  // (wavepack._schedule_block_major) implements the identical cursors.
+  static std::vector<uint64_t> walk_prevtm;
+  static std::vector<uint32_t> cur_lst, cur_sgl;
+  walk_prevtm.assign(n_walks * CT, 0);
+  cur_lst.assign(n_walks * CT, 0);
+  cur_sgl.assign(n_walks * CT, 0);
   // per (g, slot, k): selected class; per (g, c): in-window slot bits;
   // per (g, c, slot): the class's index within that tile's selection
   static std::vector<int32_t> sel;
@@ -590,11 +610,20 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
           }
           const uint64_t tm = tmg[c];
           if (!tm) continue;
+          const size_t wc = (static_cast<size_t>(grp) * 128
+                             + static_cast<size_t>(u)) * CT + c;
+          if (tm & ~walk_prevtm[wc]) {         // fresh capacity: rescan
+            cur_lst[wc] = 0;
+            cur_sgl[wc] = 0;
+          }
+          walk_prevtm[wc] = tm;
+          if (cur_lst[wc] >= lst.size() && cur_sgl[wc] >= sgl.size())
+            continue;                          // epoch exhausted
           const int8_t* bsl =
               bsel_tab.data() + (static_cast<size_t>(grp) * CT + c) * W;
           const int32_t FCAP = fruitless_cap();
           int32_t fruitless = 0;
-          size_t ii = 0;
+          size_t ii = cur_lst[wc];
           while (ii < lst.size()) {
             if (fruitless >= FCAP) break;
             ++bm_visits;
@@ -672,11 +701,12 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
             }
             ++ii;
           }
+          cur_lst[wc] = static_cast<uint32_t>(ii);
           // singleton sub-walk: sequential scan of packed entries (no
           // Item/chain state; a single placed via its other class list
           // is detected by the dense placed bitset — the cache-resident
           // twin of out[].flags&1 — and swap-removed)
-          size_t jj = 0;
+          size_t jj = cur_sgl[wc];
           while (jj < sgl.size()) {
             if (fruitless >= FCAP) break;
             ++bm_sgl;
@@ -719,6 +749,7 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
             sgl[jj] = sgl.back();               // placed: swap-remove
             sgl.pop_back();
           }
+          cur_sgl[wc] = static_cast<uint32_t>(jj);
         }
       }
     }
@@ -744,6 +775,7 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
       for (size_t e = 0; e < lmask_all.size(); ++e) lmask_all[e] >>= ADV;
       for (size_t e = 0; e < bmask_all.size(); ++e) bmask_all[e] >>= ADV;
       for (size_t e = 0; e < tilemask.size(); ++e) tilemask[e] >>= ADV;
+      for (size_t e = 0; e < walk_prevtm.size(); ++e) walk_prevtm[e] >>= ADV;
       for (int32_t grp = 0; grp < G; ++grp) {
         for (int32_t w = 0; w < W - ADV; ++w)
           for (int32_t kk = 0; kk < K; ++kk)

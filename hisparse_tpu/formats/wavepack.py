@@ -857,6 +857,14 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
     ADV = max(1, min(int(bm_adv), W))
     lmask = [[0] * LANES for _ in range(G * 128)]   # per (g,u) walk
     bmask = [[0] * LANES for _ in range(G * 128)]
+    # forward-only exam cursors per (walk, class): within one window
+    # epoch (no new tile-mask bit for the class) masks only grow, so an
+    # entry found blocked stays blocked — each exam RESUMES where the
+    # last stopped, and the cursor resets when a fresh admitted tile
+    # selects the class (C++ twin: _scheduler.cpp cur_lst/cur_sgl)
+    prev_tm = {}
+    cur_l = {}
+    cur_s = {}
     sel = np.zeros((G, W, K), np.int32)             # class per (g,slot,k)
     tilemask = [[0] * CT for _ in range(G)]         # slot bits per (g,c)
     bsel_tab = np.full((G, CT, W), -1, np.int8)     # k of c in slot's sel
@@ -908,7 +916,15 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
                     tm = tilemask[g][c]
                     if not tm:
                         continue
-                    ii = 0
+                    wc = (g * 128 + u, c)
+                    if tm & ~prev_tm.get(wc, 0):   # fresh capacity: rescan
+                        cur_l[wc] = 0
+                        cur_s[wc] = 0
+                    prev_tm[wc] = tm
+                    ii = cur_l.get(wc, 0)
+                    jj0 = cur_s.get(wc, 0)
+                    if ii >= len(lst) and jj0 >= len(sgl):
+                        continue                   # epoch exhausted
                     fruitless = 0
                     while ii < len(lst):
                         if fruitless >= 256:
@@ -975,10 +991,11 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
                         else:
                             fruitless += 1
                         ii += 1
+                    cur_l[wc] = ii
                     # singleton sub-walk (C++ twin: sequential packed
                     # scan); a single placed via its other class list is
                     # detected by t_of and swap-removed
-                    jj = 0
+                    jj = jj0
                     while jj < len(sgl):
                         if fruitless >= 256:
                             break
@@ -1017,6 +1034,7 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
                         fruitless = 0
                         sgl[jj] = sgl[-1]        # placed: swap-remove
                         sgl.pop()
+                    cur_s[wc] = jj
         if total == 0:
             break
         if pass_placed == 0:
@@ -1037,6 +1055,8 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
                 for row in masks:
                     for e in range(LANES):
                         row[e] >>= ADV
+            for kk2 in prev_tm:
+                prev_tm[kk2] >>= ADV
             for g in range(G):
                 for c in range(CT):
                     tilemask[g][c] >>= ADV
