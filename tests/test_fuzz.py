@@ -19,15 +19,17 @@ for i in range(16):
     tc = bool(_rng.integers(0, 2))
     k = int(_rng.choice([1, 2, 4])) if bm else 4
     steal = bool(_rng.integers(0, 2))
+    i16 = steal and bool(_rng.integers(0, 2))   # idx16 needs steal_mantissa
     split = _rng.choice([None, "auto", 16])
-    CASES.append((i, S, R, B, tc, bm, k, steal, split))
+    CASES.append((i, S, R, B, tc, bm, k, steal, i16, split))
 
 
-@pytest.mark.parametrize("i,S,R,B,tc,bm,k,steal,split", CASES)
-def test_fuzz_roundtrip_and_spmv(i, S, R, B, tc, bm, k, steal, split):
+@pytest.mark.parametrize("i,S,R,B,tc,bm,k,steal,i16,split", CASES)
+def test_fuzz_roundtrip_and_spmv(i, S, R, B, tc, bm, k, steal, i16,
+                                 split):
     cfg = SpmvConfig(sublanes=S, stripes=R, bank_blocks=B, two_choice=tc,
                      block_major=bm, classes_per_group=k,
-                     steal_mantissa=steal)
+                     steal_mantissa=steal, idx16=i16)
     rng = np.random.default_rng(100 + i)
     if i % 2:
         m = powerlaw_csr(int(rng.integers(50, 900)),
@@ -53,15 +55,15 @@ def test_fuzz_roundtrip_and_spmv(i, S, R, B, tc, bm, k, steal, split):
     np.testing.assert_allclose(y, ref, atol=1e-4 * rs, rtol=1e-4)
 
 
-@pytest.mark.parametrize("i,S,R,B,tc,bm,k,steal,split", CASES[:6])
-def test_fuzz_tiles_per_step(i, S, R, B, tc, bm, k, steal, split,
+@pytest.mark.parametrize("i,S,R,B,tc,bm,k,steal,i16,split", CASES[:6])
+def test_fuzz_tiles_per_step(i, S, R, B, tc, bm, k, steal, i16, split,
                              monkeypatch):
     """Same sampled design points, forced tb batching on both variants."""
     from hisparse_tpu.ops.spmv import SpmvOperator
 
     cfg = SpmvConfig(sublanes=S, stripes=R, bank_blocks=B, two_choice=tc,
                      block_major=bm, classes_per_group=k,
-                     steal_mantissa=steal)
+                     steal_mantissa=steal, idx16=i16)
     rng = np.random.default_rng(100 + i)
     if i % 2:
         m = powerlaw_csr(int(rng.integers(50, 900)),
