@@ -437,12 +437,28 @@ def main():
     ]
 
     gops_list = []
+    failed = 0
     fixed_m = None
     for name, gen in suite:
         m = gen()
         if name == "uniform-60k-d16":
             fixed_m = m      # saturation-free fixture for the fixed row
-        met, ok, cfg, wp = bench_entry(name, m, on_tpu)
+        # one retry per entry: a transient tunnel blip mid-suite should
+        # cost one entry attempt, not the whole round's artifact
+        met = None
+        for attempt in range(2):
+            try:
+                met, ok, cfg, wp = bench_entry(name, m, on_tpu)
+                break
+            except Exception as e:                        # noqa: BLE001
+                print(f"entry {name} attempt {attempt} failed: {e!r}",
+                      file=sys.stderr, flush=True)
+                if attempt == 0:
+                    time.sleep(30)
+        if met is None:
+            failed += 1
+            gops_list.append(0.0)
+            continue
         best_gops = met.gops if ok else 0.0
 
         if name == "pokec-1.6m-paged":
@@ -494,12 +510,20 @@ def main():
         print(f"pagerank row failed: {e!r}", file=sys.stderr, flush=True)
 
     g = geomean(gops_list)
-    print(json.dumps({
+    out = {
         "metric": "spmv_gops_geomean",
         "value": round(g, 2),
         "unit": "GOPS",
         "vs_baseline": round(g / BASELINE_GOPS, 3),
-    }))
+    }
+    if failed:
+        # geomean() drops zeros, so the value covers the surviving
+        # entries only — flag that loudly rather than hide it
+        out["entries_failed"] = failed
+        print(f"WARNING: {failed} entries failed; geomean covers "
+              f"{len([v for v in gops_list if v > 0])} entries only",
+              file=sys.stderr, flush=True)
+    print(json.dumps(out))
 
 
 def pagerank_tracking_row(on_tpu):
