@@ -50,24 +50,37 @@ _loaded_rates = None
 def _rate_tables():
     global _loaded_rates
     if _loaded_rates is None:
-        tables = (SLOT_RATE_GSLOTS, SLOT_RATE_BM_GSLOTS)
+        tables = (SLOT_RATE_GSLOTS, SLOT_RATE_BM_GSLOTS, None, None)
         try:
             import json
             with open(_RATES_PATH) as f:
                 d = json.load(f)
-            tables = ({int(k): float(v)
-                       for k, v in d["select_chain"].items()},
-                      {int(k): float(v)
-                       for k, v in d["block_major"].items()})
+
+            def t(key):
+                if key not in d:
+                    return None
+                return {int(k): float(v) for k, v in d[key].items()}
+            tables = (t("select_chain"), t("block_major"),
+                      t("select_chain_idx16"), t("block_major_idx16"))
         except (OSError, KeyError, ValueError):
             pass
         _loaded_rates = tables
     return _loaded_rates
 
 
-def slot_rate(n_operands: int, block_major: bool = False) -> float:
-    chain_tbl, bm_tbl = _rate_tables()
-    table = bm_tbl if block_major else chain_tbl
+def slot_rate(n_operands: int, block_major: bool = False,
+              idx16: bool = False) -> float:
+    """Calibrated sustained slot rate.  idx16 streams use their own
+    measured table when the calibration has one (the int16 widen adds a
+    VMEM op but halves idx DMA); otherwise the idx32 table — a neutral
+    assumption until scripts/calibrate_slot_rates.py runs on-chip."""
+    chain_tbl, bm_tbl, chain16, bm16 = _rate_tables()
+    if idx16:
+        table = (bm16 if block_major else chain16)
+        if table is None:
+            table = bm_tbl if block_major else chain_tbl
+    else:
+        table = bm_tbl if block_major else chain_tbl
     ks = sorted(table)
     if n_operands in table:
         return table[n_operands]
@@ -118,7 +131,7 @@ def estimate_pack(wp: Wavepack, hbm_gbps: float = 819.0) -> PerfEstimate:
     tm = wp.stream_bytes / (hbm_gbps * 1e9)
     n_ops = (cfg.classes_per_group if cfg.block_major
              else cfg.total_blocks)
-    rate = slot_rate(n_ops, cfg.block_major)
+    rate = slot_rate(n_ops, cfg.block_major, getattr(cfg, "idx16", False))
     # measured on v5e: two-choice doubles the x tile and slows the gathers
     # beyond what operand count alone predicts; block-major large B does
     # NOT (B=32/K=4 measured at 38.2 Gslot/s, equal to B=8 — round 3,

@@ -79,9 +79,30 @@ def main():
         bm[K] = round(rate, 1)
         print(f"block-major K={K}: {rate:6.1f} Gslot/s (fill {fill:.2f})",
               flush=True)
+    # idx16 variants: the int16 widen trades one VMEM op for half the idx
+    # DMA; measured separately so the model can rank idx16 design points
+    chain16 = {}
+    for B, tc in ((2, False), (8, False)):
+        cfg = SpmvConfig(sublanes=512, bank_blocks=B, stripes=512,
+                         two_choice=tc, steal_mantissa=True, idx16=True)
+        rate, fill = measure_point(cfg, 65536, B * 16384, 32, on_tpu)
+        chain16[cfg.total_blocks] = round(rate, 1)
+        print(f"select-chain idx16 operands={cfg.total_blocks:2d}: "
+              f"{rate:6.1f} Gslot/s (fill {fill:.2f})", flush=True)
+    bm16 = {}
+    for K in (1, 2, 4):
+        cfg = SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
+                         two_choice=False, block_major=True,
+                         classes_per_group=K, steal_mantissa=True,
+                         idx16=True)
+        rate, fill = measure_point(cfg, 65536, 8 * 16384, 32, on_tpu)
+        bm16[K] = round(rate, 1)
+        print(f"block-major idx16 K={K}: {rate:6.1f} Gslot/s "
+              f"(fill {fill:.2f})", flush=True)
 
     out = {"device": jax.devices()[0].device_kind,
-           "select_chain": chain, "block_major": bm}
+           "select_chain": chain, "block_major": bm,
+           "select_chain_idx16": chain16, "block_major_idx16": bm16}
     print(json.dumps(out))
     if not args.dry:
         from hisparse_tpu.models import perf_model
