@@ -222,7 +222,11 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
         # locality row order clusters each wave's rows onto the same few
         # x-blocks — together they lift spread-column-graph fill 0.12 ->
         # 0.27 at full slot rate (measured on-chip, round 3)
-        B_fit = min(128, max(8, -(-m.num_cols // 16384)))
+        # B cap 100 = the largest XT page measured good on the chip
+        # (pokec, 26 MB resident in the paged kernel); beyond that is
+        # untested VMEM territory and a compile failure would zero the
+        # entry (ogbn-products-scale inputs hit this cap)
+        B_fit = min(100, max(8, -(-m.num_cols // 16384)))
         cands = [
             (SpmvConfig(sublanes=512, bank_blocks=B_fit, stripes=512,
                         two_choice=False, block_major=True,
