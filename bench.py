@@ -402,9 +402,39 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
         _tune_cache_store(ckey, cfg, split, co, ro, bw, ba, tune_s)
     met = measure_spmv(name, op, x, m.nnz, wp.stream_bytes,
                        preproc_s=pre, fill=wp.fill)
+    if ok and cfg.steal_mantissa and not cfg.idx16 and dtype != "fixed":
+        # idx16 A/B: steal packs carry only b|h = 11 bits per idx word, so
+        # the SAME schedule re-emits as int16 by a plain downcast
+        # (6 B/slot).  Measured head-to-head (not modeled) and the better
+        # variant goes into the artifact + cache.
+        import dataclasses as _dc
+        cfg16 = _dc.replace(cfg, idx16=True)
+        wp16 = _dc.replace(wp, config=cfg16,
+                           idxT=wp.idxT.astype(np.int16))
+        try:
+            op16 = SpmvOperator(wp16, interpret=not on_tpu)
+            y16 = op16(x)
+            err16 = np.abs(y16 - ref).max() / max(np.abs(ref).max(), 1)
+            if err16 < 1e-4:
+                met16 = measure_spmv(name, op16, x, m.nnz,
+                                     wp16.stream_bytes, preproc_s=pre,
+                                     fill=wp16.fill)
+                print(f"    idx16 A/B: {met16.spmv_ms:.4f} ms "
+                      f"({met16.gops:6.1f} GOPS, stream "
+                      f"{met16.stream_gbps:6.1f} GB/s) vs idx32 "
+                      f"{met.spmv_ms:.4f} ms ({met.gops:6.1f} GOPS)",
+                      file=sys.stderr, flush=True)
+                if met16.gops > met.gops:
+                    met, cfg, wp, op = met16, cfg16, wp16, op16
+                    _tune_cache_store(ckey, cfg, split, co, ro, bw, ba,
+                                      tune_s)
+        except Exception as e:                            # noqa: BLE001
+            print(f"    idx16 A/B failed: {e!r}", file=sys.stderr,
+                  flush=True)
     tag = (f"cfg S={cfg.sublanes} B={cfg.bank_blocks} R={cfg.stripes} "
            f"tc={int(cfg.two_choice)}"
            + (f" bm/K={cfg.classes_per_group}" if cfg.block_major else "")
+           + (" i16" if cfg.idx16 else "")
            + (" fixed" if dtype == "fixed" else "")
            + (f" | tune {tune_s:5.1f} s" if cached is None else
               f" | tune cached ({cached.get('tune_s', '?')} s one-time)"))
