@@ -109,9 +109,14 @@ def _route_x(idx, block_get, n_ops: int, cfg: SpmvConfig, src_dest=None,
     scratch/probe_gatherwrap.py), so the compiled path skips the `& 0x7F`
     decode masks and feeds raw index words to the gathers.  XLA's gather
     (interpret mode, the csim oracle) clamps instead, so interpret keeps
-    the masks."""
+    the masks.  The MXU hi/lo-split transpose is likewise compiled-only
+    (gated on ``wrap``): on v5e it is measured near-exact (4.95e-06 vs the
+    f64 golden, scratch/probe_parity_fail.py), but XLA:CPU's emulation of
+    the same HLO loses ~1.5e-04, so the oracle keeps the exact lax
+    transpose — matching the csim role of being at least as accurate as
+    hardware."""
     G = cfg.groups
-    mxu_ok = (cfg.steal_mantissa and cfg.dtype == "fp32"
+    mxu_ok = (wrap and cfg.steal_mantissa and cfg.dtype == "fp32"
               and cfg.semiring == "plus_times")
     hT = idx if wrap else idx & 0x7F
     gx_groups, src_groups = [], []
