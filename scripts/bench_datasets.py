@@ -81,8 +81,17 @@ def main():
     from bench import bench_entry, wait_for_backend
 
     on_tpu = wait_for_backend() != "cpu"
+    # resume/merge: the giants run in a separate pass from the small
+    # entries (host-memory discipline: one working set at a time), so a
+    # later --only invocation must extend the artifact, not replace it
     rec = {"scale": args.scale, "on_tpu": on_tpu, "entries": {}}
-    ours, theirs = [], []
+    try:
+        with open(args.out) as f:
+            prev = json.load(f)
+        if prev.get("scale") == args.scale:
+            rec["entries"].update(prev.get("entries", {}))
+    except (OSError, ValueError):
+        pass
     for name, m in suite(args.scale, args.only):
         t0 = time.perf_counter()
         met, ok, cfg, wp = bench_entry(name, m, on_tpu)
@@ -108,11 +117,12 @@ def main():
             "fill": round(met.fill, 3),
             "roofline_frac": round(met.roofline_frac, 3),
             "wall_s": round(time.perf_counter() - t0, 1)}
-        ours.append(best)
-        theirs.append(rg)
         del m, wp
         with open(args.out, "w") as f:       # checkpoint after each entry
             json.dump(rec, f, indent=1)
+    # geomean over EVERY recorded entry (incl. merged-in prior passes)
+    ours = [e["gops"] for e in rec["entries"].values()]
+    theirs = [e["ref_gops"] for e in rec["entries"].values()]
     rec["geomean_gops"] = round(geomean(ours), 2)
     rec["ref_geomean_gops"] = round(
         geomean([t for t in theirs if t == t]), 2)
