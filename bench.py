@@ -471,6 +471,7 @@ def main():
     ]
 
     gops_list = []
+    eff_list = []
     failed = 0
     fixed_m = None
     for name, gen in suite:
@@ -494,6 +495,8 @@ def main():
             gops_list.append(0.0)
             continue
         best_gops = met.gops if ok else 0.0
+        if ok:
+            eff_list.append(getattr(met, "roofline_eff", 0.0))
 
         if name == "pokec-1.6m-paged":
             assert resident_bytes(cfg, wp.n_blocks, wp.n_parts) \
@@ -550,6 +553,16 @@ def main():
         "unit": "GOPS",
         "vs_baseline": round(g / BASELINE_GOPS, 3),
     }
+    if any(e > 0 for e in eff_list):
+        # fraction of the MEASURED achievable read bandwidth (BASELINE.md's
+        # "effective GB/s" bar); the spec-sheet fraction stays in the
+        # stderr rows
+        from hisparse_tpu.utils.bench import measured_peak_gbps
+        out["roofline_eff_max"] = round(max(eff_list), 3)
+        try:
+            out["hbm_eff_gbps_measured"] = round(measured_peak_gbps(), 1)
+        except Exception:                                 # noqa: BLE001
+            pass
     if failed:
         # geomean() drops zeros, so the value covers the surviving
         # entries only — flag that loudly rather than hide it

@@ -32,6 +32,30 @@ def device_hbm_gbps() -> float:
     return 819.0
 
 
+_PEAK_EFF = {}
+
+
+def measured_peak_gbps() -> float:
+    """Effective (achievable) HBM read bandwidth of THIS device, measured
+    once per process: a streaming elementwise-max reduction over a 256 MB
+    fp32 array (far beyond VMEM, read-dominant like the SpMV streams) timed
+    with the same on-device fori-loop slope as every other number here.
+    ``max`` (not ``+``/``*``) so XLA's algebraic simplifier cannot hoist
+    the scalar out of the reduce and skip the read.  BASELINE.md's stated
+    bar is a fraction of *effective* bandwidth; the theoretical spec sheet
+    number (HBM_GBPS) is reported alongside, never replaced."""
+    dev = jax.devices()[0]
+    key = (id(dev), dev.device_kind)
+    if key not in _PEAK_EFF:
+        a = jnp.asarray(np.random.default_rng(0)
+                        .random((2 ** 19, 128), np.float32))
+        x = jnp.zeros(8, jnp.float32)
+        dt = device_loop_time(
+            lambda xx, aa: jnp.sum(jnp.maximum(aa, xx[0])), x, a)
+        _PEAK_EFF[key] = a.size * 4 / dt / 1e9
+    return _PEAK_EFF[key]
+
+
 def _sync(v) -> None:
     np.asarray(jnp.sum(v))
 
@@ -97,13 +121,16 @@ class SpmvMetrics:
     gops: float          # 2 * nnz / t         (benchmark.cpp:314)
     stream_gbps: float   # actual packed bytes / t
     fill: float
-    roofline_frac: float
+    roofline_frac: float        # vs the spec-sheet peak (HBM_GBPS)
+    roofline_eff: float = 0.0   # vs the measured achievable read bandwidth
 
     def row(self) -> str:
+        eff = (f"/{100*self.roofline_eff:4.1f}% eff"
+               if self.roofline_eff else "")
         return (f"{self.name:28s} preproc {self.preproc_s:7.2f} s | "
                 f"SpMV {self.spmv_ms:8.4f} ms | {self.gbps:7.1f} GBPS | "
                 f"{self.gops:7.1f} GOPS | stream {self.stream_gbps:6.1f} GB/s "
-                f"({100*self.roofline_frac:4.1f}% roofline) | "
+                f"({100*self.roofline_frac:4.1f}% roofline{eff}) | "
                 f"fill {self.fill:.2f}")
 
 
@@ -130,11 +157,16 @@ def measure_spmv(name: str, op, x, nnz: int, stream_bytes: int,
             return y.reshape(-1)
         args = (op.vals, op.idxT, op.part, op.block, op.first)
     dt = device_loop_time(fn, jnp.asarray(x), *args)
+    sg = stream_bytes / dt / 1e9
+    try:
+        eff = sg / measured_peak_gbps() if not op.interpret else 0.0
+    except Exception:                                     # noqa: BLE001
+        eff = 0.0
     return SpmvMetrics(
         name=name, preproc_s=preproc_s, spmv_ms=dt * 1e3,
         gbps=nnz * 8 / dt / 1e9, gops=2 * nnz / dt / 1e9,
-        stream_gbps=stream_bytes / dt / 1e9, fill=fill,
-        roofline_frac=(stream_bytes / dt / 1e9) / device_hbm_gbps())
+        stream_gbps=sg, fill=fill,
+        roofline_frac=sg / device_hbm_gbps(), roofline_eff=eff)
 
 
 def geomean(vals) -> float:

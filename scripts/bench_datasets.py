@@ -116,6 +116,7 @@ def main():
             "spmv_ms": round(met.spmv_ms, 4),
             "fill": round(met.fill, 3),
             "roofline_frac": round(met.roofline_frac, 3),
+            "roofline_eff": round(getattr(met, "roofline_eff", 0.0), 3),
             "wall_s": round(time.perf_counter() - t0, 1)}
         del m, wp
         with open(args.out, "w") as f:       # checkpoint after each entry
