@@ -124,16 +124,18 @@ def _route_x(idx, block_get, n_ops: int, cfg: SpmvConfig, src_dest=None,
         bT = (idx >> 7) & 0xF
         srcT = (idx >> 11) if wrap else ((idx >> 11) & 0x7F)
     else:
-        # steal_mantissa: src rides in the values, so the idx word holds
-        # only b|h (bits 0..10) and the block field needs no mask
-        bT = idx >> 7
+        # steal_mantissa: src rides in the values, so the whole idx word is
+        # exactly b*128 + h — the class select can threshold the RAW word
+        # (idx >= i*128 selects ascending b), saving the per-tile shift
+        bT = None
     for g in range(G):
         sl = slice(g * 128, (g + 1) * 128)
         hg = hT[sl]
         e = jnp.take_along_axis(block_get(g, 0), hg, axis=1)
         for i in range(1, n_ops):
             ei = jnp.take_along_axis(block_get(g, i), hg, axis=1)
-            e = jnp.where(bT[sl] == i, ei, e)
+            sel = (bT[sl] == i) if bT is not None else (idx[sl] >= i * 128)
+            e = jnp.where(sel, ei, e)
         gx_groups.append(_group_t(e, mxu_ok))
         if src_dest is None:
             src_groups.append(srcT[sl].T)
