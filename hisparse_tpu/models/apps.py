@@ -275,20 +275,31 @@ class SSSP:
         self.n_slots = wp_last.n_blocks * wp_last.config.rows_per_block
 
     def run(self, source: int, iters: int | None = None) -> np.ndarray:
+        """Bellman-Ford with a device-side convergence check: each step
+        also returns whether any distance improved (the relaxation
+        fixpoint test), so the loop exits after O(diameter) iterations
+        instead of the n-1 worst case — the same early-exit BFS gets from
+        its empty-frontier check.  ``iters`` caps the iteration count
+        (defaults to the Bellman-Ford bound n-1)."""
         iters = iters if iters is not None else self.n - 1
         d = np.full(self.n_slots, np.inf, np.float32)
         d[self.inv[source]] = 0.0
         x = jnp.asarray(d)
         fn = (jax.jit(self._step) if not self.op.interpret else self._step)
+        self.iters_run = 0
         for _ in range(iters):
-            x = fn(x)
+            x, changed = fn(x)
+            self.iters_run += 1
+            if not bool(np.asarray(changed)):
+                break
         out = np.asarray(x)[self.inv]
         return out
 
     def _step(self, x):
         y = self.op(x[:self.n], renamed=True)
         y_rank = y_to_rank(self.wp, y)
-        return jnp.minimum(x, apply_combine(self.combine, y_rank))
+        x_new = jnp.minimum(x, apply_combine(self.combine, y_rank))
+        return x_new, jnp.any(x_new < x)
 
 
 def sssp_reference(adj: CSRMatrix, source: int) -> np.ndarray:

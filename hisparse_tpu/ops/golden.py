@@ -81,13 +81,17 @@ def spmv_fixed(m: CSRMatrix, x_raw: np.ndarray, data_raw: np.ndarray | None = No
                ) -> np.ndarray:
     """Bit-exact fixed-point SpMV.  data_raw/x_raw are uint32 Q8.24.
 
-    Accumulation order note: saturating fixed-point addition is NOT
-    associative when saturation fires; like the reference csim we accumulate
-    in CSR order.  In the padded stream the packer never reorders a row's
-    nonzeros, so kernel and golden agree whenever at most one saturation
-    event occurs per row — and agree exactly with the reference semantics on
-    the test suites (values in [0,1), no saturation; see sw/host.cpp:480
-    scaling by 1/num_cols).
+    Accumulation order note: saturating SIGNED addition is not associative,
+    but this type is UNSIGNED (ap_ufixed), and for nonnegative terms the
+    per-step AP_SAT fold is order-independent: by induction,
+    ``acc_k = min(acc_{k-1} + t_k, MAX) = min(prefix_sum_k, MAX)`` (once the
+    prefix crosses MAX the accumulator pins at MAX and stays there), so ANY
+    accumulation order — CSR order here, wave order + stripe fold in the
+    kernel, uint64-sum-then-clamp in ``Wavepack.unpack_y``'s hub recombine —
+    yields exactly ``min(sum of rounded products, MAX)``, even with multiple
+    saturation events per row (tests/test_fixed.py multi-saturation cases).
+    Like the reference csim we still accumulate in CSR order for
+    readability.
     """
     if data_raw is None:
         data_raw = float_to_fixed(m.data)

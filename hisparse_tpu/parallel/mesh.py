@@ -33,13 +33,24 @@ from ..formats.wavepack import Wavepack, pack
 from ..ops.spmv import _spmv_call
 
 
+def default_ici_gbps() -> float:
+    """ICI per-link bandwidth for the combine model.  The built-in 45 GB/s
+    is the public per-link v5e figure and is UNVALIDATED here (no
+    multi-chip hardware attached); the first real multi-chip run can
+    calibrate it without a code change by setting WP_ICI_GBPS (or passing
+    ici_gbps explicitly to perf_estimate)."""
+    import os
+    return float(os.environ.get("WP_ICI_GBPS", 45.0))
+
+
 def ici_allreduce_time(bytes_per_device: int, n_devices: int,
-                       ici_gbps: float = 45.0) -> float:
+                       ici_gbps: float | None = None) -> float:
     """Modeled ring all-reduce time over one ICI axis.
 
     MODEL-ONLY — no multi-chip hardware is attached to validate it; the
-    constant is the public per-link v5e ICI figure (~45 GB/s usable per
-    direction) and the shape is the standard bidirectional-ring
+    default constant is the public per-link v5e ICI figure (~45 GB/s
+    usable per direction, overridable via WP_ICI_GBPS — see
+    default_ici_gbps) and the shape is the standard bidirectional-ring
     reduce-scatter + all-gather cost 2*(n-1)/n * bytes / bw (the
     scaling-book recipe).  Latency per hop is ignored (y shards here are
     >= tens of KB, bandwidth-dominated).  Validated only for shape:
@@ -47,6 +58,8 @@ def ici_allreduce_time(bytes_per_device: int, n_devices: int,
     (tests/test_parallel.py)."""
     if n_devices <= 1:
         return 0.0
+    if ici_gbps is None:
+        ici_gbps = default_ici_gbps()
     return (2 * (n_devices - 1) / n_devices) * bytes_per_device \
         / (ici_gbps * 1e9)
 
@@ -364,7 +377,7 @@ class ShardedSpmv2D:
                              self.first, jnp.asarray(x), *extra)
 
     def perf_estimate(self, hbm_gbps: float = 819.0,
-                      ici_gbps: float = 45.0):
+                      ici_gbps: float | None = None):
         """Modeled step rate: the slowest (i, j) piece binds the SPMD
         step, plus the cols-axis combine (ici_allreduce_time).
 

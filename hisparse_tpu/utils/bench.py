@@ -45,7 +45,10 @@ def measured_peak_gbps() -> float:
     bar is a fraction of *effective* bandwidth; the theoretical spec sheet
     number (HBM_GBPS) is reported alongside, never replaced."""
     dev = jax.devices()[0]
-    key = (id(dev), dev.device_kind)
+    # keyed on stable device identity, not the Python object id: a backend
+    # re-init (tunnel reconnect) can GC the old device object and reuse its
+    # id(), aliasing a stale measurement
+    key = (getattr(dev, "id", 0), dev.device_kind)
     if key not in _PEAK_EFF:
         a = jnp.asarray(np.random.default_rng(0)
                         .random((2 ** 19, 128), np.float32))

@@ -27,13 +27,22 @@ REF_GOPS = {
 }
 
 
-def suite(scale: float, only=None):
+def suite(scale: float, only=None, npz_dir=None):
     """Yields (name, matrix) lazily — one giant matrix in memory at a
     time.  Published shapes/densities per paper Table 2; graph character
     per family: power-law skew for the social graphs, R-MAT (skew + edge
     locality) for pokec/hollywood/products, near-uniform rows for
-    ogbl-ppa."""
+    ogbl-ppa.
+
+    ``npz_dir``: when set, each suite entry first looks for
+    ``<npz_dir>/<name>.npz`` (the scipy format the reference's
+    datasets/download.sh fetches) and uses the REAL matrix if present,
+    falling back to the synthetic stand-in otherwise — so the day an
+    egress path exists, the published-dataset run is one command:
+    ``python scripts/bench_datasets.py --npz-dir datasets/graph``."""
+    import os
     from hisparse_tpu import uniform_sparse_csr, powerlaw_csr, rmat_csr
+    from hisparse_tpu.formats.csr import load_npz
     s = lambda n: max(1, int(n * scale)) if n > 200000 else n
     gens = [
         ("mouse_gene", lambda: powerlaw_csr(45000, 45000, 639.0, 1.4,
@@ -60,7 +69,13 @@ def suite(scale: float, only=None):
     for name, gen in gens:
         if only and name not in only:
             continue
-        yield name, gen()
+        if npz_dir:
+            p = os.path.join(npz_dir, f"{name}.npz")
+            if os.path.exists(p):
+                print(f"    {name}: real dataset {p}", file=sys.stderr)
+                yield name, load_npz(p), True
+                continue
+        yield name, gen(), False
 
 
 def main():
@@ -69,6 +84,10 @@ def main():
                     help="graph size scale factor (1.0 = published sizes)")
     ap.add_argument("--only", nargs="*", default=None,
                     help="run only these entries")
+    ap.add_argument("--npz-dir", default=None,
+                    help="directory of real <name>.npz datasets; entries "
+                         "found there run the real matrix instead of the "
+                         "synthetic stand-in")
     ap.add_argument("--out", default="/root/repo/BENCH_DATASETS.json")
     args = ap.parse_args()
 
@@ -88,11 +107,14 @@ def main():
     try:
         with open(args.out) as f:
             prev = json.load(f)
-        if prev.get("scale") == args.scale:
+        # merge only same-scale AND same-backend prior entries: numbers
+        # from a CPU fallback pass must not blend into a TPU geomean
+        if (prev.get("scale") == args.scale
+                and prev.get("on_tpu") == on_tpu):
             rec["entries"].update(prev.get("entries", {}))
     except (OSError, ValueError):
         pass
-    for name, m in suite(args.scale, args.only):
+    for name, m, real in suite(args.scale, args.only, npz_dir=args.npz_dir):
         t0 = time.perf_counter()
         met, ok, cfg, wp = bench_entry(name, m, on_tpu)
         best = met.gops if ok else 0.0
@@ -106,8 +128,9 @@ def main():
                                       preferred_element_type=jnp.float32),
                 jnp.asarray(xp, dop.a.dtype), dop.a)
             best = max(best, 2 * m.nnz / dt / 1e9)
-        rg = REF_GOPS.get(name, float("nan"))
-        print(f"    best {best:7.1f} GOPS | U280 ref {rg:5.1f} GOPS",
+        rg = REF_GOPS.get(name)      # None (not NaN) keeps the JSON strict
+        print(f"    best {best:7.1f} GOPS | U280 ref "
+              f"{rg if rg is not None else float('nan'):5.1f} GOPS",
               file=sys.stderr, flush=True)
         rec["entries"][name] = {
             "rows": m.num_rows, "cols": m.num_cols, "nnz": int(m.nnz),
@@ -117,16 +140,23 @@ def main():
             "fill": round(met.fill, 3),
             "roofline_frac": round(met.roofline_frac, 3),
             "roofline_eff": round(getattr(met, "roofline_eff", 0.0), 3),
+            "real_npz": real,
             "wall_s": round(time.perf_counter() - t0, 1)}
         del m, wp
         with open(args.out, "w") as f:       # checkpoint after each entry
             json.dump(rec, f, indent=1)
-    # geomean over EVERY recorded entry (incl. merged-in prior passes)
+    # geomean over EVERY recorded entry (incl. merged-in prior passes);
+    # failed entries (gops 0) are dropped by geomean — flag them honestly
+    # like bench.py does
     ours = [e["gops"] for e in rec["entries"].values()]
     theirs = [e["ref_gops"] for e in rec["entries"].values()]
+    failed = sum(1 for e in rec["entries"].values() if not e["ok"])
     rec["geomean_gops"] = round(geomean(ours), 2)
     rec["ref_geomean_gops"] = round(
-        geomean([t for t in theirs if t == t]), 2)
+        geomean([t for t in theirs if t is not None]), 2)
+    if failed:
+        rec["failed_entries"] = failed
+        rec["geomean_partial"] = True
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=1)
     print(f"geomean: ours {rec['geomean_gops']:.1f} GOPS | "

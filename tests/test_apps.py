@@ -37,6 +37,31 @@ def test_sssp_matches_dijkstra():
     assert (np.isinf(got) == np.isinf(ref)).all()
 
 
+def test_sssp_early_exit():
+    """With no iteration cap, SSSP stops at the relaxation fixpoint in
+    O(diameter) iterations (device-side no-change check), not the n-1
+    Bellman-Ford worst case."""
+    import scipy.sparse as sp
+    from hisparse_tpu.models.apps import SSSP, sssp_reference
+    from hisparse_tpu import CSRMatrix
+    rng = np.random.default_rng(8)
+    n = 150
+    dense = rng.random((n, n))
+    mask = rng.random((n, n)) < 0.05
+    np.fill_diagonal(mask, False)
+    w = np.where(mask, dense + 0.1, 0.0).astype(np.float32)
+    m = CSRMatrix.from_scipy(sp.csr_matrix(w))
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128)
+    s = SSSP(m, cfg, interpret=True)
+    got = s.run(source=3)                  # default cap = n-1
+    assert s.iters_run < 30                # dense ER graph: tiny diameter
+    ref = sssp_reference(m, 3)
+    both_inf = np.isinf(got) & np.isinf(ref)
+    np.testing.assert_allclose(got[~both_inf], ref[~both_inf], rtol=1e-4,
+                               atol=1e-5)
+    assert (np.isinf(got) == np.isinf(ref)).all()
+
+
 def test_bfs_levels():
     import scipy.sparse as sp
     import scipy.sparse.csgraph as csgraph

@@ -41,6 +41,27 @@ def test_wait_for_backend_exhausts_budget(monkeypatch):
     assert calls["n"] >= 1
 
 
+def test_bench_datasets_npz_dir(tmp_path):
+    """--npz-dir routes a suite entry to a real .npz when present (the
+    one-command path for the day the FPGA'22 datasets become reachable),
+    falling back to the synthetic stand-in otherwise."""
+    import sys
+    sys.path.insert(0, "/root/repo/scripts")
+    import bench_datasets
+    from hisparse_tpu import uniform_sparse_csr
+    from hisparse_tpu.formats.csr import save_npz
+    real = uniform_sparse_csr(256, 300, 5, seed=1)
+    save_npz(tmp_path / "mouse_gene.npz", real)
+    got = list(bench_datasets.suite(
+        1.0, only=["mouse_gene", "transformer_95"],
+        npz_dir=str(tmp_path)))
+    assert [(n, r) for n, _, r in got] == [("mouse_gene", True),
+                                           ("transformer_95", False)]
+    m = got[0][1]
+    assert (m.num_rows, m.num_cols, m.nnz) == (256, 300, real.nnz)
+    np.testing.assert_array_equal(m.indices, real.indices)
+
+
 def test_load_wavepack_pre_idx16_format(tmp_path):
     """Round-3 wavepack files carry a 7-field cfg vector (no idx16 flag);
     the loader must still read them (idx16 defaults off)."""

@@ -57,3 +57,53 @@ def test_fixed_saturation_single_op():
     m_dense = uniform_sparse_csr(8, 8, 1, seed=4)
     m_dense.data = np.full(8, 200.0, np.float32)  # Q8.24 max is ~256
     fixed_case(m_dense, CFG_FIXED, seed=5)
+
+
+def test_fixed_multi_saturation_accumulate():
+    """>= 2 accumulation-saturation events per row: kernel == golden
+    exactly.  For UNSIGNED terms the per-step AP_SAT fold equals
+    min(prefix sum, MAX) at every step (golden.spmv_fixed docstring), so
+    wave-order accumulation + stripe fold agree with CSR order even when
+    the row sum crosses MAX repeatedly — the divergence region
+    golden.py used to concede is provably empty."""
+    m = uniform_sparse_csr(64, 96, 8, seed=9)
+    # products ~ 120*x, eight per row: the running sum crosses 256 (MAX)
+    # several times in most rows
+    m.data = np.full(m.nnz, 120.0, np.float32)
+    fixed_case(m, CFG_FIXED, seed=10)
+
+
+def test_fixed_multi_saturation_products_and_hub_split():
+    """Every PRODUCT saturates (a*x rounds past MAX) and rows are hub-split
+    into virtual rows whose saturated partials recombine via unpack_y's
+    min(uint64 sum, MAX) closed form — the full multi-saturation stack."""
+    m = uniform_sparse_csr(48, 64, 8, seed=11)
+    m.data = np.full(m.nnz, 50.0, np.float32)
+    rng = np.random.default_rng(12)
+    xf = rng.random(m.num_cols) * 100.0 + 100.0     # x in [100, 200)
+    x_raw = golden.float_to_fixed(xf)
+    data_raw = golden.float_to_fixed(m.data)
+    m_fixed = m.astype(np.float32)
+    m_fixed.data = data_raw
+    wp = pack(m_fixed, CFG_FIXED, split_max=4)      # force virtual rows
+    assert (np.bincount(wp.perm[wp.perm < m.num_rows]) > 1).any()
+    op = SpmvOperator(wp, interpret=True)
+    y = op(x_raw)
+    # every product saturates: 50 * 100 = 5000 >> 256
+    assert (golden.fixed_mul(data_raw, x_raw[m.indices])
+            == np.uint32(0xFFFFFFFF)).all()
+    ref = golden.spmv_fixed(m, x_raw, data_raw)
+    np.testing.assert_array_equal(y.astype(np.uint32), ref)
+
+
+def test_fixed_vec_golden_matches_sequential_under_saturation():
+    """spmv_fixed_vec's fallback detection: with saturating rows it must
+    route to the sequential reference and agree bit-exactly."""
+    m = uniform_sparse_csr(32, 40, 6, seed=13)
+    m.data = np.full(m.nnz, 90.0, np.float32)
+    x_raw = golden.float_to_fixed(np.random.default_rng(14)
+                                  .random(m.num_cols) * 3.0)
+    data_raw = golden.float_to_fixed(m.data)
+    np.testing.assert_array_equal(
+        golden.spmv_fixed_vec(m, x_raw, data_raw),
+        golden.spmv_fixed(m, x_raw, data_raw))

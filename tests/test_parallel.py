@@ -87,6 +87,38 @@ def test_sharded_fixed_dtype(mesh):
     np.testing.assert_array_equal(y, ref)
 
 
+def test_sharded_fixed_saturation(mesh):
+    """1-D sharded fixed-point with saturation FIRING (multi-event rows):
+    disjoint row ownership keeps the saturating fold per-device, so the
+    mesh result must stay bit-exact vs the sequential golden."""
+    from hisparse_tpu import CSRMatrix
+    from hisparse_tpu.ops.golden import float_to_fixed, spmv_fixed
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128,
+                     dtype="fixed", two_choice=False)
+    rng = np.random.default_rng(21)
+    m0 = uniform_sparse_csr(500, 640, 8, seed=21)
+    m = CSRMatrix(m0.num_rows, m0.num_cols,
+                  float_to_fixed(np.full(m0.nnz, 120.0)),
+                  m0.indices, m0.indptr)
+    op = ShardedSpmv(m, mesh, cfg, interpret=True)
+    x_raw = float_to_fixed(rng.random(m.num_cols) * 2.0)
+    y = op.unpack_y(op(x_raw))[:m.num_rows]
+    ref = spmv_fixed(m, x_raw, data_raw=m.data)
+    assert (ref == np.uint32(0xFFFFFFFF)).any()     # saturation really fires
+    np.testing.assert_array_equal(y, ref)
+
+
+def test_ici_gbps_env_override(monkeypatch):
+    """WP_ICI_GBPS calibrates the (model-only) combine term without a code
+    change — the hook for the first real multi-chip measurement."""
+    from hisparse_tpu.parallel.mesh import ici_allreduce_time
+    base = ici_allreduce_time(1 << 20, 4)
+    monkeypatch.setenv("WP_ICI_GBPS", "90.0")
+    assert ici_allreduce_time(1 << 20, 4) == base / 2
+    # explicit arg wins over env
+    assert ici_allreduce_time(1 << 20, 4, ici_gbps=45.0) == base
+
+
 def test_sharded_split_auto(mesh):
     cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=64)
     m = powerlaw_csr(800, 1000, 8, alpha=1.1, seed=5)
