@@ -10,26 +10,22 @@ measuring; entries where the format dispatcher picks a dense/MXU format
 additionally report that path and keep the better one, since format choice
 is part of this framework.
 
-Suite: six synthetic stand-ins spanning the FPGA'22 regimes (sw/bm.sh:4-17)
-at published shapes where the staging budget allows (the tunnel moves
-~16 MB/s; the full 12-entry sweep is scripts/bench_datasets.py):
+Suite: the FULL published-size 12-entry FPGA'22 suite (sw/bm.sh:4-17,
+paper Table 2) as synthetic stand-ins at published shape and density
+(zero-egress environment; real .npz datasets are used automatically when
+present — see ``dataset_suite``): the 6 graphs (mouse_gene, googleplus,
+ogbl_ppa, pokec, hollywood, ogbn_products — up to 124M nnz, exercising
+the paged kernel) and the 6 pruned-NN transformer layers.  Per-entry
+results checkpoint to BENCH_DATASETS.json; the stdout JSON line's value
+is the suite geomean — the same metric, suite, and sizes as the paper's
+Table 3 geomean (the round-4 artifact split the 6-entry driver subset
+from the published-size sweep; VERDICT r4 asked for one story).
 
-  uniform-60k-d16         row-regular sparse (ogbl-ppa-like uniformity)
-  powerlaw-100k-d10       generic power-law graph
-  pruned-nn-512x33k-d10%  transformer-90 pruned-NN layer, published size
-  googleplus-108k-d127    gplus shape/density (108K rows, 13.7M nnz)
-  mouse-gene-45k-d640     mouse-gene shape/density (45K rows, 29M nnz)
-  pokec-1.6m-paged        pokec shape (1.63M rows, 31M nnz) as an R-MAT
-                          graph (social-network skew AND edge locality;
-                          uniformly-random columns are a locality-free
-                          worst case no real graph exhibits) — exceeds the
-                          resident VMEM budget, so it exercises the paged
-                          kernel on real hardware (host.cpp:335-357 analog)
-
-Two stderr-only tracking rows (not in the geomean): fixed-point Q8.24 on
-uniform-60k (paper Table 7's headline fixed-vs-float comparison; the
-saturation-free fixture keeps bit-exactness checkable) and the BCSR/SpMM
-dense-block MXU path.
+Stderr-only tracking rows (not in the geomean): fixed-point Q8.24 on a
+saturation-free uniform-60k fixture (paper Table 7's fixed-vs-float
+comparison), the BCSR/SpMM dense-block MXU path, and timed PageRank /
+SSSP / BFS application rows (the GraphLily app tier,
+unit_tests/test_app.cpp:51-63).
 
 vs_baseline compares against the reference's overall geomean of 16.7 GOPS
 on the U280 (BASELINE.md, paper Table 3).
@@ -43,6 +39,14 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 BASELINE_GOPS = 16.7
+
+# reference per-dataset GOPS, paper Table 3 / BASELINE.md
+REF_GOPS = {
+    "mouse_gene": 27.2, "googleplus": 21.2, "ogbl_ppa": 24.4,
+    "hollywood": 24.9, "pokec": 11.2, "ogbn_products": 20.6,
+    "transformer_50": 21.9, "transformer_60": 18.9, "transformer_70": 16.5,
+    "transformer_80": 14.8, "transformer_90": 9.7, "transformer_95": 5.7,
+}
 
 
 def tune_grid(num_rows=None, avg_nnz=None):
@@ -158,6 +162,20 @@ def _tune_cache_load():
         return {}
 
 
+def _rates_fingerprint():
+    """Identity of the calibration tables the tuner ranked with.  A cached
+    design point chosen under a different slot-rate calibration re-tunes
+    (the model's cost function changed under it) — the analog of
+    re-running the reference's DSE after re-characterizing the overlay."""
+    import hashlib
+    from hisparse_tpu.models import perf_model
+    try:
+        with open(perf_model._RATES_PATH, "rb") as f:
+            return hashlib.sha1(f.read()).hexdigest()[:12]
+    except OSError:
+        return "fallback"
+
+
 def _tune_cache_store(key, cfg, split, co, ro=None, bm_win=None,
                       bm_adv=None, tune_s=None):
     d = _tune_cache_load()
@@ -165,6 +183,7 @@ def _tune_cache_store(key, cfg, split, co, ro=None, bm_win=None,
     d[key] = {"cfg": _dc.asdict(cfg), "split": split,
               "col_order": co if isinstance(co, (str, type(None))) else None,
               "row_order": ro, "bm_win": bm_win, "bm_adv": bm_adv,
+              "rates": _rates_fingerprint(),
               # the one-time tuning wall clock, recorded so the baked
               # design point's cost exists in an artifact (the analog of
               # the reference's DSE + bitstream build time)
@@ -196,6 +215,8 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
     wp = None
     ckey = f"{name}:{m.num_rows}x{m.num_cols}:{m.nnz}:{dtype}"
     cached = None if retune else _tune_cache_load().get(ckey)
+    if cached is not None and cached.get("rates") != _rates_fingerprint():
+        cached = None                 # stale calibration -> re-tune
     ro = None
     bw = ba = None
     if cached is not None:
@@ -204,10 +225,42 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
         ro = cached.get("row_order")
         bw, ba = cached.get("bm_win"), cached.get("bm_adv")
     elif density >= 0.05:
-        # dense-rows regime: the DSE answer is known (many slots per row);
-        # skip the per-config packs, they dominate preprocessing
-        cfg, split, co = SpmvConfig(sublanes=512, bank_blocks=2, stripes=4,
-                                    two_choice=True), None, None
+        # dense-rows regime (the pruned-NN layers): rows are uniform and
+        # packs are tiny, so tune with a handful of REAL packs ranked by
+        # the calibrated model.  Low operand counts run far faster (the
+        # calibrated curve: 1 op 74.9 Gslot/s vs the tc pair's 4-op 37.6)
+        # and dense uniform rows keep fill high even without two-choice
+        # banking — the round-4 hardcoded (B=2, tc) point left ~2x on the
+        # table whenever B=1 fill held
+        from hisparse_tpu import pack as _pack
+        from hisparse_tpu.models.perf_model import estimate as _est
+        co = None
+        best = None
+        for cfg_c in (
+                # steal_mantissa rides the crossbar src in the value bits
+                # (the calibration fixture's configuration — rate tables
+                # are steal-pack measurements) and unlocks the MXU
+                # transpose + the idx16 A/B downstream
+                SpmvConfig(sublanes=512, bank_blocks=1, stripes=4,
+                           two_choice=False, steal_mantissa=True),
+                SpmvConfig(sublanes=512, bank_blocks=2, stripes=4,
+                           two_choice=False, steal_mantissa=True),
+                SpmvConfig(sublanes=512, bank_blocks=2, stripes=4,
+                           two_choice=True, steal_mantissa=True),
+                SpmvConfig(sublanes=512, bank_blocks=1, stripes=4,
+                           two_choice=True, steal_mantissa=True),
+                # the round-4 baked point, as the no-regression fallback
+                SpmvConfig(sublanes=512, bank_blocks=2, stripes=4,
+                           two_choice=True)):
+            try:
+                wp_c = _pack(m, cfg_c, split_max=None)
+            except ValueError:
+                continue
+            g = _est(m, cfg_c, wp_c).gops
+            if best is None or g > best[0]:
+                best = (g, cfg_c)
+            wp_c = None
+        cfg, split = best[1], None
     elif m.num_rows > 400_000:
         # huge graphs: a row sample holds ~1 row block and cannot see the
         # (block, partition) segment quantization of the full matrix, so
@@ -443,98 +496,188 @@ def bench_entry(name, m, on_tpu, col_order="degree", dtype="fp32",
     return met, ok, cfg, wp
 
 
-def main():
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+def dataset_suite(scale: float = 1.0, only=None, npz_dir=None):
+    """Yields (name, matrix, is_real_npz) lazily — one giant matrix in
+    memory at a time (1-vCPU host discipline).  Published shapes/densities
+    per paper Table 2; graph character per family: power-law skew for the
+    social graphs, R-MAT (skew + edge locality) for pokec/hollywood/
+    products, near-uniform rows for ogbl-ppa.
+
+    ``npz_dir``: when set, each suite entry first looks for
+    ``<npz_dir>/<name>.npz`` (the scipy format the reference's
+    datasets/download.sh fetches) and uses the REAL matrix if present,
+    falling back to the synthetic stand-in otherwise — so the day an
+    egress path exists, the published-dataset run is one command:
+    ``python scripts/bench_datasets.py --npz-dir datasets/graph``."""
+    import os
     from hisparse_tpu import uniform_sparse_csr, powerlaw_csr, rmat_csr
+    from hisparse_tpu.formats.csr import load_npz
+    s = lambda n: max(1, int(n * scale)) if n > 200000 else n
+    gens = [
+        ("mouse_gene", lambda: powerlaw_csr(45000, 45000, 639.0, 1.4,
+                                            seed=10)),
+        ("googleplus", lambda: powerlaw_csr(108000, 108000, 127.0, 1.2,
+                                            seed=11)),
+        ("ogbl_ppa", lambda: uniform_sparse_csr(s(576000), s(576000), 73,
+                                                seed=15)),
+        ("pokec", lambda: rmat_csr(s(1632000), s(1632000), 19.0, seed=12)),
+        # hollywood at published shape: 1.07M rows, 113M nnz (sw/bm.sh)
+        ("hollywood", lambda: rmat_csr(s(1069000), s(1069000), 106.0,
+                                       seed=13)),
+        # ogbn-products at published shape: 2.45M rows, 124M nnz — the
+        # reference's largest benchmark (paper Tables 3/8)
+        ("ogbn_products", lambda: rmat_csr(s(2449000), s(2449000), 50.7,
+                                           seed=14)),
+    ]
+    # pruned-NN suite, full size (512 x 33288 at 50..5% density)
+    for pct in (50, 60, 70, 80, 90, 95):
+        d = (100 - pct) / 100.0
+        gens.append((f"transformer_{pct}",
+                     lambda d=d, pct=pct: uniform_sparse_csr(
+                         512, 33288, int(33288 * d), seed=pct)))
+    for name, gen in gens:
+        if only and name not in only:
+            continue
+        if npz_dir:
+            p = os.path.join(npz_dir, f"{name}.npz")
+            if os.path.exists(p):
+                print(f"    {name}: real dataset {p}", file=sys.stderr)
+                yield name, load_npz(p), True
+                continue
+        yield name, gen(), False
+
+
+def _dense_ab(m, best_gops):
+    """MXU dense-path A/B for entries the format dispatcher calls dense
+    (the pruned-NN layers).  Format choice is part of this framework, so
+    the better path's GOPS goes into the artifact — gated on the same
+    1e-4 correctness bar every sparse entry passes (sw/host.cpp:62)."""
+    import jax.numpy as jnp
     from hisparse_tpu.ops.dense import DenseOperator, choose_format
     from hisparse_tpu.ops.golden import spmv_f64
+    from hisparse_tpu.utils.bench import device_loop_time
+    if choose_format(m) != "dense":
+        return best_gops
+    x = np.random.default_rng(0).random(m.num_cols).astype(np.float32)
+    ref = spmv_f64(m, x)
+    dop = DenseOperator(m, dtype="bf16")
+    yd = np.asarray(dop(x))
+    errd = np.abs(yd - ref).max() / max(np.abs(ref).max(), 1)
+    xp = np.pad(x, (0, dop.a.shape[1] - x.shape[0]))
+    fn = lambda xx, a: jnp.dot(a, xx,                     # noqa: E731
+                               preferred_element_type=jnp.float32)
+    dt = device_loop_time(fn, jnp.asarray(xp, dop.a.dtype), dop.a)
+    if dop.stream_bytes / dt / 1e9 > 900:       # above HBM: flaky read
+        dt = device_loop_time(fn, jnp.asarray(xp, dop.a.dtype), dop.a)
+    dgops = 2 * m.nnz / dt / 1e9
+    print(f"    dense-bf16 path: {dt*1e3:.4f} ms | {dgops:7.1f} GOPS"
+          f" | stream {dop.stream_bytes/dt/1e9:6.1f} GB/s | "
+          f"err {errd:.1e}", file=sys.stderr, flush=True)
+    if errd < 1e-4 and dgops > best_gops:
+        return dgops
+    return best_gops
+
+
+def run_dataset_suite(on_tpu, out_path="/root/repo/BENCH_DATASETS.json",
+                      scale=1.0, only=None, npz_dir=None):
+    """Run the published-size suite, maintaining the BENCH_DATASETS.json
+    artifact (checkpointed per entry; prior same-scale same-backend
+    entries merge in, so an interrupted pass resumes).  Returns the
+    artifact dict."""
     from hisparse_tpu.ops.spmv import resident_bytes, _RESIDENT_VMEM_BUDGET
-    from hisparse_tpu.utils.bench import geomean, device_loop_time
+    from hisparse_tpu.utils.bench import geomean
 
-    on_tpu = wait_for_backend() != "cpu"
-    suite = [
-        ("uniform-60k-d16",
-         lambda: uniform_sparse_csr(60000, 60000, 16, seed=1)),
-        ("powerlaw-100k-d10",
-         lambda: powerlaw_csr(100000, 100000, 10, alpha=1.3, seed=2)),
-        ("pruned-nn-512x33k-d10%",
-         lambda: uniform_sparse_csr(512, 33280, 3328, seed=3)),
-        ("googleplus-108k-d127",
-         lambda: powerlaw_csr(108000, 108000, 127, alpha=1.2, seed=4)),
-        ("mouse-gene-45k-d640",
-         lambda: powerlaw_csr(45000, 45000, 640, alpha=1.4, seed=5)),
-        ("pokec-1.6m-paged",
-         lambda: rmat_csr(1632000, 1632000, 19, seed=6)),
-    ]
-
-    gops_list = []
-    eff_list = []
-    failed = 0
-    fixed_m = None
-    for name, gen in suite:
-        m = gen()
-        if name == "uniform-60k-d16":
-            fixed_m = m      # saturation-free fixture for the fixed row
+    rec = {"scale": scale, "on_tpu": on_tpu, "entries": {}}
+    try:
+        with open(out_path) as f:
+            prev = json.load(f)
+        # merge only same-scale AND same-backend prior entries: numbers
+        # from a CPU fallback pass must not blend into a TPU geomean
+        if (prev.get("scale") == scale and prev.get("on_tpu") == on_tpu):
+            rec["entries"].update(prev.get("entries", {}))
+    except (OSError, ValueError):
+        pass
+    for name, m, real in dataset_suite(scale, only, npz_dir=npz_dir):
+        t0 = time.perf_counter()
         # one retry per entry: a transient tunnel blip mid-suite should
         # cost one entry attempt, not the whole round's artifact
         met = None
+        err = None
         for attempt in range(2):
             try:
                 met, ok, cfg, wp = bench_entry(name, m, on_tpu)
                 break
             except Exception as e:                        # noqa: BLE001
+                err = e
                 print(f"entry {name} attempt {attempt} failed: {e!r}",
                       file=sys.stderr, flush=True)
                 if attempt == 0:
                     time.sleep(30)
         if met is None:
-            failed += 1
-            gops_list.append(0.0)
+            rec["entries"][name] = {
+                "rows": m.num_rows, "cols": m.num_cols, "nnz": int(m.nnz),
+                "ok": False, "gops": 0.0, "ref_gops": REF_GOPS.get(name),
+                "error": repr(err), "real_npz": real,
+                "wall_s": round(time.perf_counter() - t0, 1)}
+            del m
             continue
-        best_gops = met.gops if ok else 0.0
-        if ok:
-            eff_list.append(getattr(met, "roofline_eff", 0.0))
-
-        if name == "pokec-1.6m-paged":
+        if name == "pokec" and scale == 1.0:
             assert resident_bytes(cfg, wp.n_blocks, wp.n_parts) \
                 > _RESIDENT_VMEM_BUDGET, "pokec entry must exercise paged"
-
-        if choose_format(m) == "dense":
-            import jax.numpy as jnp
-            x = np.random.default_rng(0).random(m.num_cols).astype(np.float32)
-            ref = spmv_f64(m, x)
-            dop = DenseOperator(m, dtype="bf16")
-            yd = np.asarray(dop(x))
-            errd = np.abs(yd - ref).max() / max(np.abs(ref).max(), 1)
-            xp = np.pad(x, (0, dop.a.shape[1] - x.shape[0]))
-            dt = device_loop_time(
-                lambda xx, a: jnp.dot(a, xx,
-                                      preferred_element_type=jnp.float32),
-                jnp.asarray(xp, dop.a.dtype), dop.a)
-            if dop.stream_bytes / dt / 1e9 > 900:   # above HBM: flaky read
-                dt = device_loop_time(
-                    lambda xx, a: jnp.dot(a, xx,
-                                          preferred_element_type=jnp.float32),
-                    jnp.asarray(xp, dop.a.dtype), dop.a)
-            dgops = 2 * m.nnz / dt / 1e9
-            print(f"    dense-bf16 path: {dt*1e3:.4f} ms | {dgops:7.1f} GOPS"
-                  f" | stream {dop.stream_bytes/dt/1e9:6.1f} GB/s | "
-                  f"err {errd:.1e}", file=sys.stderr, flush=True)
-            # the geomean correctness bar is the same 1e-4 every sparse
-            # entry passes (sw/host.cpp:62); looser bf16 numbers stay a
-            # stderr-only tracking row
-            if errd < 1e-4 and dgops > best_gops:
-                best_gops = dgops
-        gops_list.append(best_gops)
+        best = met.gops if ok else 0.0
+        best = _dense_ab(m, best)
+        rg = REF_GOPS.get(name)      # None (not NaN) keeps the JSON strict
+        print(f"    best {best:7.1f} GOPS | U280 ref "
+              f"{rg if rg is not None else float('nan'):5.1f} GOPS",
+              file=sys.stderr, flush=True)
+        rec["entries"][name] = {
+            "rows": m.num_rows, "cols": m.num_cols, "nnz": int(m.nnz),
+            "ok": bool(ok), "gops": round(best, 2), "ref_gops": rg,
+            "preproc_s": round(met.preproc_s, 2),
+            "spmv_ms": round(met.spmv_ms, 4),
+            "fill": round(met.fill, 3),
+            "roofline_frac": round(met.roofline_frac, 3),
+            "roofline_eff": round(getattr(met, "roofline_eff", 0.0), 3),
+            "real_npz": real,
+            "wall_s": round(time.perf_counter() - t0, 1)}
         del m, wp
+        with open(out_path, "w") as f:       # checkpoint after each entry
+            json.dump(rec, f, indent=1)
+    # geomean over EVERY recorded entry (incl. merged-in prior passes);
+    # failed entries (gops 0) are dropped by geomean — flag them honestly
+    ours = [e["gops"] for e in rec["entries"].values()]
+    theirs = [e["ref_gops"] for e in rec["entries"].values()]
+    failed = sum(1 for e in rec["entries"].values() if not e["ok"])
+    rec["geomean_gops"] = round(geomean(ours), 2)
+    rec["ref_geomean_gops"] = round(
+        geomean([t for t in theirs if t is not None]), 2)
+    if failed:
+        rec["failed_entries"] = failed
+        rec["geomean_partial"] = True
+    with open(out_path, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"geomean: ours {rec['geomean_gops']:.1f} GOPS | "
+          f"U280 {rec['ref_geomean_gops']:.1f} GOPS -> {out_path}",
+          file=sys.stderr, flush=True)
+    return rec
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    from hisparse_tpu import uniform_sparse_csr
+
+    on_tpu = wait_for_backend() != "cpu"
+    rec = run_dataset_suite(on_tpu)
 
     # --- tracking rows (stderr only, not in the geomean) ------------------
     try:
+        fixed_m = uniform_sparse_csr(60000, 60000, 16, seed=1)
         bench_entry("fixed-q8.24-uniform-60k", fixed_m, on_tpu,
                     dtype="fixed")
+        del fixed_m
     except Exception as e:                                # noqa: BLE001
         print(f"fixed-point row failed: {e!r}", file=sys.stderr, flush=True)
     try:
@@ -545,13 +688,21 @@ def main():
         pagerank_tracking_row(on_tpu)
     except Exception as e:                                # noqa: BLE001
         print(f"pagerank row failed: {e!r}", file=sys.stderr, flush=True)
+    try:
+        sssp_bfs_tracking_rows(on_tpu)
+    except Exception as e:                                # noqa: BLE001
+        print(f"sssp/bfs rows failed: {e!r}", file=sys.stderr, flush=True)
 
-    g = geomean(gops_list)
+    g = rec["geomean_gops"]
+    entries = rec["entries"]
+    eff_list = [e.get("roofline_eff", 0.0) for e in entries.values()
+                if e.get("ok")]
     out = {
         "metric": "spmv_gops_geomean",
         "value": round(g, 2),
         "unit": "GOPS",
         "vs_baseline": round(g / BASELINE_GOPS, 3),
+        "suite": f"published-size-{len(entries)}",
     }
     if any(e > 0 for e in eff_list):
         # fraction of the MEASURED achievable read bandwidth (BASELINE.md's
@@ -563,12 +714,13 @@ def main():
             out["hbm_eff_gbps_measured"] = round(measured_peak_gbps(), 1)
         except Exception:                                 # noqa: BLE001
             pass
+    failed = rec.get("failed_entries", 0)
     if failed:
         # geomean() drops zeros, so the value covers the surviving
         # entries only — flag that loudly rather than hide it
         out["entries_failed"] = failed
         print(f"WARNING: {failed} entries failed; geomean covers "
-              f"{len([v for v in gops_list if v > 0])} entries only",
+              f"{len(entries) - failed} entries only",
               file=sys.stderr, flush=True)
     print(json.dumps(out))
 
@@ -596,6 +748,48 @@ def pagerank_tracking_row(on_tpu):
     gops = 2 * m.nnz / dt / 1e9
     print(f"    pagerank-100k: {dt*1e3:.4f} ms/iter | {1/dt:7.1f} iters/s | "
           f"{gops:6.1f} GOPS | err {err:.1e}", file=sys.stderr, flush=True)
+
+
+def sssp_bfs_tracking_rows(on_tpu):
+    """Timed semiring app rows (the GraphLily app tier,
+    unit_tests/test_app.cpp:51-63): SSSP Bellman-Ford with the device-side
+    convergence early-exit on the pokec-shape stand-in (min_plus), and BFS
+    frontier iteration (max_times) on the 100k power-law graph.  Reported:
+    iterations to converge, per-iteration device time, effective GOPS."""
+    from hisparse_tpu import rmat_csr, powerlaw_csr
+    from hisparse_tpu.models.apps import SSSP, BFS
+    from hisparse_tpu.utils.bench import device_loop_time
+    import jax.numpy as jnp
+
+    m = rmat_csr(1632000, 1632000, 19, seed=6)
+    t0 = time.perf_counter()
+    ss = SSSP(m, interpret=not on_tpu)
+    pre = time.perf_counter() - t0
+    d = ss.run(source=0)
+    reach = float(np.isfinite(d).mean())
+    fn, args = ss.step_fn()
+    x0 = jnp.full(ss.n_slots, jnp.inf, jnp.float32).at[ss.inv[0]].set(0.0)
+    dt = device_loop_time(lambda x, *a: fn(x, *a)[0], x0, *args)
+    gops = 2 * m.nnz / dt / 1e9
+    print(f"    sssp-pokec-1.6m: {ss.iters_run} iters to fixpoint | "
+          f"{dt*1e3:.4f} ms/iter | {1/dt:6.1f} iters/s | {gops:6.1f} GOPS"
+          f" | reach {reach:.2f} | preproc {pre:.1f} s",
+          file=sys.stderr, flush=True)
+    del m, ss, args
+
+    m = powerlaw_csr(100000, 100000, 10, alpha=1.3, seed=2)
+    t0 = time.perf_counter()
+    bf = BFS(m, interpret=not on_tpu)
+    pre = time.perf_counter() - t0
+    lv = bf.run(source=0)
+    fn, args = bf.step_fn()
+    f0 = jnp.zeros(bf.n_slots, jnp.float32).at[bf.inv[0]].set(1.0)
+    dt = device_loop_time(lambda f, r, *a: fn(f, r, *a)[0], f0, f0, *args)
+    gops = 2 * m.nnz / dt / 1e9
+    print(f"    bfs-100k: depth {lv.max()} | {dt*1e3:.4f} ms/iter | "
+          f"{1/dt:6.1f} iters/s | {gops:6.1f} GOPS | "
+          f"reached {(lv >= 0).mean():.2f} | preproc {pre:.1f} s",
+          file=sys.stderr, flush=True)
 
 
 def bcsr_tracking_row(on_tpu):

@@ -274,6 +274,34 @@ class SSSP:
         wp_last = self.combine[-1][0]
         self.n_slots = wp_last.n_blocks * wp_last.config.rows_per_block
 
+    def step_fn(self):
+        """(fn, args): a jittable relaxation step taking the stream arrays
+        as explicit arguments (closing over device arrays would embed
+        gigabytes of constants in the compiled module — the HTTP-413
+        remote-compile hazard).  ``fn(x, *args) -> (x_new, changed)``."""
+        nA = len(_op_args(self.op))
+        opA, combine = self.op, self.combine
+        n, wp_A = self.n, self.wp
+        c_lens = [len(_op_args(op)) for _, op in combine]
+
+        def fn(x, *arrs):
+            a_args = arrs[:nA]
+            rest = arrs[nA:]
+            c_args = []
+            off = 0
+            for ln in c_lens:
+                c_args.append(rest[off:off + ln])
+                off += ln
+            y = _op_call(opA, x[:n], a_args).reshape(-1)
+            y_rank = y_to_rank(wp_A, y)
+            x_new = jnp.minimum(x, apply_combine(combine, y_rank, c_args))
+            return x_new, jnp.any(x_new < x)
+
+        args = _op_args(self.op)
+        for _, op in combine:
+            args = args + _op_args(op)
+        return fn, args
+
     def run(self, source: int, iters: int | None = None) -> np.ndarray:
         """Bellman-Ford with a device-side convergence check: each step
         also returns whether any distance improved (the relaxation
@@ -285,21 +313,16 @@ class SSSP:
         d = np.full(self.n_slots, np.inf, np.float32)
         d[self.inv[source]] = 0.0
         x = jnp.asarray(d)
-        fn = (jax.jit(self._step) if not self.op.interpret else self._step)
+        fn, args = self.step_fn()
+        step = jax.jit(fn) if not self.op.interpret else fn
         self.iters_run = 0
         for _ in range(iters):
-            x, changed = fn(x)
+            x, changed = step(x, *args)
             self.iters_run += 1
             if not bool(np.asarray(changed)):
                 break
         out = np.asarray(x)[self.inv]
         return out
-
-    def _step(self, x):
-        y = self.op(x[:self.n], renamed=True)
-        y_rank = y_to_rank(self.wp, y)
-        x_new = jnp.minimum(x, apply_combine(self.combine, y_rank))
-        return x_new, jnp.any(x_new < x)
 
 
 def sssp_reference(adj: CSRMatrix, source: int) -> np.ndarray:
@@ -332,6 +355,37 @@ class BFS:
         wp_last = self.combine[-1][0]
         self.n_slots = wp_last.n_blocks * wp_last.config.rows_per_block
 
+    def step_fn(self):
+        """(fn, args): jittable frontier step with stream arrays as
+        explicit arguments (see SSSP.step_fn for why).
+        ``fn(frontier, reached, *args) -> (next_frontier, reached, newly)``.
+        """
+        nA = len(_op_args(self.op))
+        opA, combine = self.op, self.combine
+        n, wp_A = self.n, self.wp
+        c_lens = [len(_op_args(op)) for _, op in combine]
+
+        def fn(frontier, reached, *arrs):
+            a_args = arrs[:nA]
+            rest = arrs[nA:]
+            c_args = []
+            off = 0
+            for ln in c_lens:
+                c_args.append(rest[off:off + ln])
+                off += ln
+            raw = _op_call(opA, frontier[:n], a_args).reshape(-1)
+            raw_rank = y_to_rank(wp_A, raw)
+            y = apply_combine(combine, raw_rank, c_args)
+            y = jnp.where(y > 0, 1.0, 0.0)
+            newly = jnp.maximum(y - reached, 0.0)
+            reached2 = jnp.maximum(reached, y)
+            return newly, reached2, newly
+
+        args = _op_args(self.op)
+        for _, op in combine:
+            args = args + _op_args(op)
+        return fn, args
+
     def run(self, source: int, max_iters: int | None = None) -> np.ndarray:
         """Returns BFS level per node (-1 = unreachable)."""
         max_iters = max_iters if max_iters is not None else self.n
@@ -342,9 +396,10 @@ class BFS:
         reached = frontier.copy()
         x = jnp.asarray(frontier)
         reached_j = jnp.asarray(reached)
-        fn = (jax.jit(self._step) if not self.op.interpret else self._step)
+        sfn, args = self.step_fn()
+        fn = jax.jit(sfn) if not self.op.interpret else sfn
         for it in range(1, max_iters + 1):
-            x, reached_j, newly = fn(x, reached_j)
+            x, reached_j, newly = fn(x, reached_j, *args)
             new_np = np.asarray(newly)
             if not new_np.any():
                 break
@@ -357,12 +412,3 @@ class BFS:
         order[self.inv] = np.arange(self.n)
         ids = order[ranks]
         return ids[ids >= 0]
-
-    def _step(self, frontier, reached):
-        raw = self.op(frontier[:self.n], renamed=True)
-        raw_rank = y_to_rank(self.wp, raw)
-        y = apply_combine(self.combine, raw_rank)
-        y = jnp.where(y > 0, 1.0, 0.0)
-        newly = jnp.maximum(y - reached, 0.0)
-        reached2 = jnp.maximum(reached, y)
-        return newly, reached2, newly

@@ -42,6 +42,11 @@ SLOT_RATE_GSLOTS = {1: 62.0, 2: 52.0, 4: 48.0, 8: 23.0, 16: 12.0}
 # round-3: tiles-per-step batching lifted bm K=1 to 71.2 Gslot/s
 # (scratch/probe_wrap_rate.py); K=2/K=4 unchanged within noise
 SLOT_RATE_BM_GSLOTS = {1: 71.0, 2: 53.0, 4: 38.0, 8: 23.0}
+# two-choice rate multipliers beyond operand count (tc doubles the x tile
+# and slows the gathers); round-2/3 point measurements, superseded by the
+# measured values in slot_rates.json when calibrate_slot_rates.py has run
+TC_MULT_CHAIN = 0.77
+TC_MULT_BM = 0.94
 
 _RATES_PATH = __file__.rsplit("/", 1)[0] + "/slot_rates.json"
 _loaded_rates = None
@@ -50,7 +55,8 @@ _loaded_rates = None
 def _rate_tables():
     global _loaded_rates
     if _loaded_rates is None:
-        tables = (SLOT_RATE_GSLOTS, SLOT_RATE_BM_GSLOTS, None, None)
+        tables = (SLOT_RATE_GSLOTS, SLOT_RATE_BM_GSLOTS, None, None,
+                  TC_MULT_CHAIN, TC_MULT_BM)
         try:
             import json
             with open(_RATES_PATH) as f:
@@ -61,11 +67,19 @@ def _rate_tables():
                     return None
                 return {int(k): float(v) for k, v in d[key].items()}
             tables = (t("select_chain"), t("block_major"),
-                      t("select_chain_idx16"), t("block_major_idx16"))
+                      t("select_chain_idx16"), t("block_major_idx16"),
+                      float(d.get("tc_mult_chain", TC_MULT_CHAIN)),
+                      float(d.get("tc_mult_bm", TC_MULT_BM)))
         except (OSError, KeyError, ValueError):
             pass
         _loaded_rates = tables
     return _loaded_rates
+
+
+def tc_multiplier(block_major: bool) -> float:
+    """Measured two-choice slot-rate multiplier (beyond operand count)."""
+    tabs = _rate_tables()
+    return tabs[5] if block_major else tabs[4]
 
 
 def slot_rate(n_operands: int, block_major: bool = False,
@@ -74,7 +88,7 @@ def slot_rate(n_operands: int, block_major: bool = False,
     measured table when the calibration has one (the int16 widen adds a
     VMEM op but halves idx DMA); otherwise the idx32 table — a neutral
     assumption until scripts/calibrate_slot_rates.py runs on-chip."""
-    chain_tbl, bm_tbl, chain16, bm16 = _rate_tables()
+    chain_tbl, bm_tbl, chain16, bm16 = _rate_tables()[:4]
     if idx16:
         table = (bm16 if block_major else chain16)
         if table is None:
@@ -135,12 +149,10 @@ def estimate_pack(wp: Wavepack, hbm_gbps: float = 819.0) -> PerfEstimate:
     # measured on v5e: two-choice doubles the x tile and slows the gathers
     # beyond what operand count alone predicts; block-major large B does
     # NOT (B=32/K=4 measured at 38.2 Gslot/s, equal to B=8 — round 3,
-    # single-partition paged path)
-    if cfg.block_major:
-        if cfg.two_choice:
-            rate *= 0.94
-    elif cfg.two_choice:
-        rate *= 0.77
+    # single-partition paged path).  The multiplier is re-measured by
+    # calibrate_slot_rates.py (slot_rates.json) when available.
+    if cfg.two_choice:
+        rate *= tc_multiplier(cfg.block_major)
     tc = slots / (rate * 1e9)
     resident = (resident_bytes(cfg, wp.n_blocks, wp.n_parts)
                 <= _RESIDENT_VMEM_BUDGET)

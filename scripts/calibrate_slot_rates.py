@@ -61,15 +61,29 @@ def main():
         args.dry = True
 
     # fixture mirrors the benchmark regimes: a big row block (R=512,
-    # 65536 rows) so class choices and stream sizes match production runs
+    # 65536 rows) so class choices and stream sizes match production runs.
+    # The operand-count tables are ALL measured two_choice=False: tc
+    # doubles total_blocks, so a tc point stored at its operand key would
+    # pollute the non-tc interpolation AND double-count once the model
+    # applies the tc multiplier on top (the round-4 frozen 0.77/0.94).
     chain = {}
-    for B, tc in ((1, False), (2, False), (4, False), (8, False), (8, True)):
+    for B in (1, 2, 4, 8, 16):
         cfg = SpmvConfig(sublanes=512, bank_blocks=B, stripes=512,
-                         two_choice=tc, steal_mantissa=True)
+                         two_choice=False, steal_mantissa=True)
         rate, fill = measure_point(cfg, 65536, B * 16384, 32, on_tpu)
         chain[cfg.total_blocks] = round(rate, 1)
         print(f"select-chain operands={cfg.total_blocks:2d}: "
               f"{rate:6.1f} Gslot/s (fill {fill:.2f})", flush=True)
+    # two-choice multipliers, measured at matched operand count (chain
+    # B=8+tc has 16 gather operands, the same as B=16 non-tc; bm tc keeps
+    # K operands but doubles the x tile) — these replace the frozen
+    # constants in perf_model (VERDICT r4 weakness 7)
+    cfg = SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
+                     two_choice=True, steal_mantissa=True)
+    rate_tc, fill = measure_point(cfg, 65536, 8 * 16384, 32, on_tpu)
+    tc_mult_chain = round(rate_tc / chain[16], 3)
+    print(f"select-chain tc (16 operands): {rate_tc:6.1f} Gslot/s "
+          f"-> tc_mult_chain {tc_mult_chain}", flush=True)
     bm = {}
     for K in (1, 2, 4, 8):
         cfg = SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
@@ -79,6 +93,13 @@ def main():
         bm[K] = round(rate, 1)
         print(f"block-major K={K}: {rate:6.1f} Gslot/s (fill {fill:.2f})",
               flush=True)
+    cfg = SpmvConfig(sublanes=512, bank_blocks=8, stripes=512,
+                     two_choice=True, block_major=True, classes_per_group=4,
+                     steal_mantissa=True)
+    rate_tc, fill = measure_point(cfg, 65536, 8 * 16384, 32, on_tpu)
+    tc_mult_bm = round(rate_tc / bm[4], 3)
+    print(f"block-major tc K=4: {rate_tc:6.1f} Gslot/s "
+          f"-> tc_mult_bm {tc_mult_bm}", flush=True)
     # idx16 variants: the int16 widen trades one VMEM op for half the idx
     # DMA; measured separately so the model can rank idx16 design points
     chain16 = {}
@@ -102,7 +123,8 @@ def main():
 
     out = {"device": jax.devices()[0].device_kind,
            "select_chain": chain, "block_major": bm,
-           "select_chain_idx16": chain16, "block_major_idx16": bm16}
+           "select_chain_idx16": chain16, "block_major_idx16": bm16,
+           "tc_mult_chain": tc_mult_chain, "tc_mult_bm": tc_mult_bm}
     print(json.dumps(out))
     if not args.dry:
         from hisparse_tpu.models import perf_model

@@ -45,14 +45,12 @@ def test_bench_datasets_npz_dir(tmp_path):
     """--npz-dir routes a suite entry to a real .npz when present (the
     one-command path for the day the FPGA'22 datasets become reachable),
     falling back to the synthetic stand-in otherwise."""
-    import sys
-    sys.path.insert(0, "/root/repo/scripts")
-    import bench_datasets
+    import bench
     from hisparse_tpu import uniform_sparse_csr
     from hisparse_tpu.formats.csr import save_npz
     real = uniform_sparse_csr(256, 300, 5, seed=1)
     save_npz(tmp_path / "mouse_gene.npz", real)
-    got = list(bench_datasets.suite(
+    got = list(bench.dataset_suite(
         1.0, only=["mouse_gene", "transformer_95"],
         npz_dir=str(tmp_path)))
     assert [(n, r) for n, _, r in got] == [("mouse_gene", True),

@@ -30,15 +30,32 @@ def test_calibrated_slot_rates_load(tmp_path, monkeypatch):
     path = tmp_path / "slot_rates.json"
     path.write_text(json.dumps({
         "device": "test", "select_chain": {"1": 100.0, "4": 80.0},
-        "block_major": {"2": 90.0}}))
+        "block_major": {"2": 90.0}, "tc_mult_chain": 0.9,
+        "tc_mult_bm": 0.99}))
     monkeypatch.setattr(perf_model, "_RATES_PATH", str(path))
     monkeypatch.setattr(perf_model, "_loaded_rates", None)
     try:
         assert perf_model.slot_rate(1) == 100.0
         assert perf_model.slot_rate(4) == 80.0
         assert perf_model.slot_rate(2, block_major=True) == 90.0
+        assert perf_model.tc_multiplier(False) == 0.9
+        assert perf_model.tc_multiplier(True) == 0.99
     finally:
         perf_model._loaded_rates = None
+
+
+def test_tc_multiplier_fallback():
+    """Without a calibration file the frozen round-2/3 constants apply."""
+    from hisparse_tpu.models import perf_model
+    prev = perf_model._loaded_rates
+    perf_model._loaded_rates = None
+    try:
+        # _RATES_PATH absent in a clean checkout -> fallbacks; if a real
+        # calibration exists the values are whatever it measured (>0)
+        assert 0 < perf_model.tc_multiplier(False) <= 1.5
+        assert 0 < perf_model.tc_multiplier(True) <= 1.5
+    finally:
+        perf_model._loaded_rates = prev
 
 
 def test_sample_rows():
