@@ -711,6 +711,20 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
             if (fruitless >= FCAP) break;
             ++bm_sgl;
             const uint64_t e = sgl[jj];
+            // mask tests FIRST: they read only the sequential entry plus
+            // the cache-resident mask LUTs.  The placed-elsewhere bitset
+            // probe is a random load over nnz/8 bytes (the measured ~15
+            // cycles/probe memory-latency bound) — defer it until the
+            // entry actually has candidate waves, so the blocked
+            // majority never pays it.  Dead entries linger while their
+            // bank is blocked (they place nothing either way); removal
+            // happens at first unblocked visit.  Twin:
+            // wavepack._schedule_block_major singleton sub-walk — same
+            // test order, change BOTH.
+            const int32_t lm = static_cast<int32_t>((e >> 24) & 0xFF);
+            const int32_t lane = static_cast<int32_t>((e >> 16) & 0xFF);
+            const uint64_t cand = tm & ~bank_mask[lane] & ~lane_mask[lm];
+            if (!cand) { ++jj; ++fruitless; continue; }
             const int32_t idx = static_cast<int32_t>(e >> 32);
             if (g.placed_bits[static_cast<size_t>(idx) >> 6]
                 & (1ull << (idx & 63))) {      // placed elsewhere: remove
@@ -718,10 +732,6 @@ void schedule_bm_segment(int64_t lo, int64_t hi, int64_t min_tile,
               sgl.pop_back();
               continue;                         // revisit slot jj
             }
-            const int32_t lm = static_cast<int32_t>((e >> 24) & 0xFF);
-            const int32_t lane = static_cast<int32_t>((e >> 16) & 0xFF);
-            const uint64_t cand = tm & ~bank_mask[lane] & ~lane_mask[lm];
-            if (!cand) { ++jj; ++fruitless; continue; }
             const int32_t w = __builtin_ctzll(cand);
             const int32_t primary = static_cast<int32_t>((e >> 8) & 1);
             const int32_t c_oth = static_cast<int32_t>(e & 0xFF);

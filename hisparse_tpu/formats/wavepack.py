@@ -1000,15 +1000,22 @@ def _schedule_block_major(sigma, lam, bank, h, cls, cls2, bank2, R, S, CT,
                         if fruitless >= 256:
                             break
                         nz, lm, lane, primary, c_oth = sgl[jj]
-                        if t_of[nz] >= 0:        # placed elsewhere: remove
-                            sgl[jj] = sgl[-1]
-                            sgl.pop()
-                            continue             # revisit slot jj
+                        # mask tests FIRST, placed-elsewhere second: the
+                        # C++ twin defers its random placed-bitset probe
+                        # until the entry has candidate waves (the
+                        # blocked majority never pays the cache miss);
+                        # dead entries linger while bank-blocked and are
+                        # removed at first unblocked visit.  Same test
+                        # order here — change BOTH.
                         cand = tm & ~bank_mask[lane] & ~lane_mask[lm]
                         if not cand:
                             jj += 1
                             fruitless += 1
                             continue
+                        if t_of[nz] >= 0:        # placed elsewhere: remove
+                            sgl[jj] = sgl[-1]
+                            sgl.pop()
+                            continue             # revisit slot jj
                         w = (cand & -cand).bit_length() - 1
                         c1 = c if primary else c_oth
                         c2 = c_oth if primary else c
