@@ -302,20 +302,45 @@ class SSSP:
             args = args + _op_args(op)
         return fn, args
 
-    def run(self, source: int, iters: int | None = None) -> np.ndarray:
+    def run(self, source: int, iters: int | None = None,
+            masked: bool = False) -> np.ndarray:
         """Bellman-Ford with a device-side convergence check: each step
         also returns whether any distance improved (the relaxation
         fixpoint test), so the loop exits after O(diameter) iterations
         instead of the n-1 worst case — the same early-exit BFS gets from
         its empty-frontier check.  ``iters`` caps the iteration count
-        (defaults to the Bellman-Ford bound n-1)."""
+        (defaults to the Bellman-Ford bound n-1).
+
+        ``masked=True`` runs sparse Bellman-Ford (the SpMSpV analog):
+        each step streams only the tile groups reachable from distances
+        that CHANGED last step.  Correct because distances are monotone
+        non-increasing — contributions of unchanged columns are already
+        folded into the running minimum — the GraphLily sparse-frontier
+        pattern (unit_tests/test_module_spmv_spmspv.cpp)."""
         iters = iters if iters is not None else self.n - 1
         d = np.full(self.n_slots, np.inf, np.float32)
         d[self.inv[source]] = 0.0
+        self.iters_run = 0
+        if masked:
+            x = d
+            changed = np.zeros(self.n_slots, bool)
+            changed[self.inv[source]] = True
+            for _ in range(iters):
+                act = np.nonzero(changed[:self.n])[0]
+                if len(act) == 0:
+                    break
+                y = self.op.masked(jnp.asarray(x[:self.n]), act,
+                                   renamed=True)
+                y_rank = np.asarray(
+                    apply_combine(self.combine, y_to_rank(self.wp, y)))
+                x_new = np.minimum(x, y_rank)
+                changed = x_new < x
+                x = x_new
+                self.iters_run += 1
+            return x[self.inv]
         x = jnp.asarray(d)
         fn, args = self.step_fn()
         step = jax.jit(fn) if not self.op.interpret else fn
-        self.iters_run = 0
         for _ in range(iters):
             x, changed = step(x, *args)
             self.iters_run += 1
@@ -386,11 +411,37 @@ class BFS:
             args = args + _op_args(op)
         return fn, args
 
-    def run(self, source: int, max_iters: int | None = None) -> np.ndarray:
-        """Returns BFS level per node (-1 = unreachable)."""
+    def run(self, source: int, max_iters: int | None = None,
+            masked: bool = False) -> np.ndarray:
+        """Returns BFS level per node (-1 = unreachable).
+
+        ``masked=True`` streams only the tile groups the current frontier
+        can touch (sparse-frontier SpMSpV analog) — on high-diameter
+        graphs early frontiers are tiny and most of the matrix never
+        leaves HBM."""
         max_iters = max_iters if max_iters is not None else self.n
         level = np.full(self.n, -1, np.int64)
         level[source] = 0
+        if masked:
+            frontier = np.zeros(self.n_slots, np.float32)
+            frontier[self.inv[source]] = 1.0
+            reached = frontier.copy()
+            for it in range(1, max_iters + 1):
+                act = np.nonzero(frontier[:self.n])[0]
+                if len(act) == 0:
+                    break
+                raw = self.op.masked(jnp.asarray(frontier[:self.n]), act,
+                                     renamed=True)
+                y = np.asarray(apply_combine(
+                    self.combine, y_to_rank(self.wp, raw)))
+                y = (y > 0).astype(np.float32)
+                newly = np.maximum(y - reached, 0.0)
+                if not newly.any():
+                    break
+                reached = np.maximum(reached, y)
+                frontier = newly
+                level[self._rank_to_orig(np.nonzero(newly > 0)[0])] = it
+            return level
         frontier = np.zeros(self.n_slots, np.float32)
         frontier[self.inv[source]] = 1.0
         reached = frontier.copy()

@@ -312,6 +312,25 @@ def _paged_kernel(part_ref, block_ref, first_ref, cmap_ref, vals_ref,
                                 cfg, cls_ids, wrap=wrap)
 
 
+def _resident_masked_kernel(tsel_ref, part_ref, block_ref, cmap_ref,
+                            vals_ref, idxT_ref, xt_ref, out_ref, *,
+                            cfg: SpmvConfig, wrap: bool = False,
+                            tb: int = 1):
+    """Resident body under a scalar-prefetch grid: ``tsel`` is consumed by
+    the stream index maps only (it redirects the vals/idxT DMA at the
+    selected tile groups); the body is the plain resident kernel over the
+    subset metadata."""
+    _resident_kernel(part_ref, block_ref, cmap_ref, vals_ref, idxT_ref,
+                     xt_ref, out_ref, cfg=cfg, wrap=wrap, tb=tb)
+
+
+def _paged_masked_kernel(tsel_ref, part_ref, block_ref, first_ref,
+                         cmap_ref, vals_ref, idxT_ref, xt_ref, out_ref, *,
+                         cfg: SpmvConfig, wrap: bool = False, tb: int = 1):
+    _paged_kernel(part_ref, block_ref, first_ref, cmap_ref, vals_ref,
+                  idxT_ref, xt_ref, out_ref, cfg=cfg, wrap=wrap, tb=tb)
+
+
 def resident_bytes(cfg: SpmvConfig, n_blocks: int, n_parts: int,
                    tiles_per_step: int = 1) -> int:
     """VMEM footprint of the resident variant (XT + y + stream buffers)."""
@@ -322,18 +341,11 @@ def resident_bytes(cfg: SpmvConfig, n_blocks: int, n_parts: int,
     return xt + y + streams
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_parts",
-                                             "interpret", "variant",
-                                             "tiles_per_step"))
-def _spmv_call(vals, idxT, part, block, first, x, cmap=None, *,
-               cfg: SpmvConfig, n_blocks: int, n_parts: int,
-               interpret: bool = False, variant: str = "auto",
-               tiles_per_step: int = 1):
-    S, B, R = cfg.sublanes, cfg.bank_blocks, cfg.stripes
-    T = vals.shape[0]
-    # compiled Pallas needs a TPU; on CPU backends fall back to the
-    # interpreter (the csim analog) automatically
-    interpret = interpret or jax.default_backend() == "cpu"
+def _build_xt(x, cfg: SpmvConfig, n_parts: int):
+    """Vector-loader analog: pre-transpose x into per-partition bank
+    blocks XT[p, b, l, h] = x[p*VB + (b*128 + h)*128 + l] (plus the
+    two-choice second copy when configured)."""
+    B = cfg.bank_blocks
     if cfg.dtype == "fixed":
         assert x.dtype == jnp.uint32, "fixed-point SpMV takes raw Q8.24 x"
         x_cast = x
@@ -341,10 +353,7 @@ def _spmv_call(vals, idxT, part, block, first, x, cmap=None, *,
         # bf16 streams compress the matrix values only; x and the
         # accumulator stay fp32 (one bf16 rounding per term)
         x_cast = x.astype(jnp.float32)
-    acc_dtype = vals.dtype if cfg.dtype == "fixed" else jnp.float32
     x_padded = jnp.pad(x_cast, (0, n_parts * cfg.vb_cols - x.shape[0]))
-    # vector-loader analog: pre-transpose x into per-partition bank blocks
-    # XT[p, b, l, h] = x[p*VB + (b*128 + h)*128 + l]
     XT = x_padded.reshape(n_parts, B, 128, LANES).transpose(0, 1, 3, 2)
     if cfg.two_choice:
         from ..formats.wavepack import bank_shift
@@ -359,6 +368,109 @@ def _spmv_call(vals, idxT, part, block, first, x, cmap=None, *,
             second = [jnp.roll(XT[:, b], bank_shift(b), axis=1)
                       for b in range(B)]
         XT = jnp.concatenate([XT, jnp.stack(second, axis=1)], axis=1)
+    return XT
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_parts",
+                                             "interpret", "variant",
+                                             "tiles_per_step"))
+def _spmv_masked_call(vals, idxT, tsel, part_s, block_s, first_s, x,
+                      cmap_s=None, *, cfg: SpmvConfig, n_blocks: int,
+                      n_parts: int, interpret: bool = False,
+                      variant: str = "paged", tiles_per_step: int = 1):
+    """Masked (SpMSpV-analog) SpMV: stream ONLY the tile groups listed in
+    ``tsel`` (original tb-group indices).  The full vals/idxT arrays stay
+    in HBM untouched; the scalar-prefetched index maps point each grid
+    step's DMA at its selected group, so skipped tiles cost zero HBM
+    bandwidth — the TPU re-design of GraphLily's sparse-frontier SpMSpV
+    module (reference: unit_tests/test_module_spmv_spmspv.cpp, which the
+    reference ships only as vestigial tests).  ``part_s/block_s/first_s/
+    cmap_s`` are the host-subset per-selected-tile metadata."""
+    S, R = cfg.sublanes, cfg.stripes
+    interpret = interpret or jax.default_backend() == "cpu"
+    acc_dtype = vals.dtype if cfg.dtype == "fixed" else jnp.float32
+    XT = _build_xt(x, cfg, n_parts)
+    tb = tiles_per_step
+    Gsel = tsel.shape[0]
+    cmap_arg = (cmap_s if cmap_s is not None else jnp.zeros(1, jnp.int32))
+    if variant == "resident":
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,            # tsel, part, block, cmap
+            grid=(Gsel,),
+            in_specs=[
+                pl.BlockSpec((tb, S, LANES),
+                             lambda t, ts, pr, br, cm: (ts[t], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, S, LANES),
+                             lambda t, ts, pr, br, cm: (ts[t], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n_blocks * S, LANES),
+                                   lambda t, ts, pr, br, cm: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            functools.partial(_resident_masked_kernel, cfg=cfg,
+                              wrap=not interpret, tb=tb),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_blocks * S, LANES), acc_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(tsel, part_s, block_s, cmap_arg, vals, idxT, XT)
+        return _stripe_fold(out.reshape(n_blocks, S // R, R, LANES), cfg)
+    xt_spec = (pl.BlockSpec(memory_space=pltpu.VMEM)
+               if n_parts == 1 else
+               pl.BlockSpec((1, cfg.total_blocks, 128, 128),
+                            lambda t, ts, pr, br, fr, cm: (pr[t * tb],
+                                                           0, 0, 0),
+                            memory_space=pltpu.VMEM))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,        # tsel, part, block, first, cmap
+        grid=(Gsel,),
+        in_specs=[
+            pl.BlockSpec((tb, S, LANES),
+                         lambda t, ts, pr, br, fr, cm: (ts[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, S, LANES),
+                         lambda t, ts, pr, br, fr, cm: (ts[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+            xt_spec,
+        ],
+        out_specs=pl.BlockSpec((1, S, LANES),
+                               lambda t, ts, pr, br, fr, cm: (br[t * tb],
+                                                              0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_paged_masked_kernel, cfg=cfg,
+                          wrap=not interpret, tb=tb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, S, LANES), acc_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(tsel, part_s, block_s, first_s, cmap_arg, vals, idxT, XT)
+    touched = jnp.zeros((n_blocks,), jnp.bool_).at[block_s].set(True)
+    out = jnp.where(touched[:, None, None], out, _acc_init(cfg, out))
+    return _stripe_fold(out.reshape(n_blocks, S // R, R, LANES), cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_parts",
+                                             "interpret", "variant",
+                                             "tiles_per_step"))
+def _spmv_call(vals, idxT, part, block, first, x, cmap=None, *,
+               cfg: SpmvConfig, n_blocks: int, n_parts: int,
+               interpret: bool = False, variant: str = "auto",
+               tiles_per_step: int = 1):
+    S, R = cfg.sublanes, cfg.stripes
+    T = vals.shape[0]
+    # compiled Pallas needs a TPU; on CPU backends fall back to the
+    # interpreter (the csim analog) automatically
+    interpret = interpret or jax.default_backend() == "cpu"
+    acc_dtype = vals.dtype if cfg.dtype == "fixed" else jnp.float32
+    XT = _build_xt(x, cfg, n_parts)
     if cfg.block_major:
         assert cmap is not None
         cmap = cmap.reshape(-1)
@@ -576,6 +688,139 @@ class SpmvOperator:
         self.first = jnp.asarray(first)
         self.cmap = (jnp.asarray(cmap.reshape(-1))
                      if cmap is not None else None)
+        # host copies of the (small) per-tile metadata for the masked
+        # (SpMSpV) path's host-side tile selection
+        G, K = self.cfg.groups, self.cfg.classes_per_group
+        self._meta_np = (np.asarray(part), np.asarray(block),
+                         np.asarray(first),
+                         np.asarray(cmap).reshape(-1, G * K)
+                         if cmap is not None else None)
+        self._pad_gid = None
+
+    def _ensure_pad_group(self):
+        """Append ONE identity tile group for the masked path's
+        selection padding (device-side concat; no host round trip).  The
+        unmasked stream then carries one extra identity group — harmless
+        (identity slots, block 0, first=0) and ~1/G of a percent of the
+        stream."""
+        if self._pad_gid is not None:
+            return
+        cfg, tb = self.cfg, self.tb
+        S = cfg.sublanes
+        pad0 = (jnp.inf if cfg.semiring == "min_plus" else 0)
+        T = self.vals.shape[0]
+        self.vals = jnp.concatenate(
+            [self.vals, jnp.full((tb, S, LANES), pad0, self.vals.dtype)])
+        self.idxT = jnp.concatenate(
+            [self.idxT, jnp.zeros((tb, S, LANES), self.idxT.dtype)])
+        part_np, block_np, first_np, cmap_np = self._meta_np
+        zpad = np.zeros(tb, part_np.dtype)
+        part_np = np.concatenate([part_np, zpad])
+        block_np = np.concatenate([block_np, zpad.astype(block_np.dtype)])
+        first_np = np.concatenate([first_np, zpad.astype(first_np.dtype)])
+        if cmap_np is not None:
+            cmap_np = np.concatenate(
+                [cmap_np, np.zeros((tb, cmap_np.shape[1]), cmap_np.dtype)])
+        self._meta_np = (part_np, block_np, first_np, cmap_np)
+        self.part = jnp.asarray(part_np)
+        self.block = jnp.asarray(block_np)
+        self.first = jnp.asarray(first_np)
+        if cmap_np is not None:
+            self.cmap = jnp.asarray(cmap_np.reshape(-1))
+        self._pad_gid = T // tb
+
+    def active_groups(self, active):
+        """Tile-group selection for ``masked``: a tb-group is active iff
+        any of its tiles' gather operands can touch an active column —
+        for block-major, the tile's selected (partition, class) pairs;
+        for the select-chain path, the tile's partition (every block of
+        the partition is an operand).  ``active`` is a bool mask or index
+        array over the PACKED column space (same space as the x the
+        operator consumes)."""
+        cfg = self.cfg
+        part_np, block_np, first_np, cmap_np = self._meta_np
+        tb = self.tb
+        Gn = len(part_np) // tb
+        ac = np.asarray(active)
+        if ac.dtype == np.bool_:
+            ac = np.nonzero(ac)[0]
+        vb = cfg.vb_cols
+        p = ac // vb
+        if cfg.block_major:
+            a = (ac % vb) // 128
+            cls = a // 128
+            B = cfg.bank_blocks
+            CT = 2 * B if cfg.two_choice else B
+            act = np.zeros(self.wp.n_parts * CT, bool)
+            act[p * CT + cls] = True
+            if cfg.two_choice:
+                # second-copy classes re-bank columns across classes;
+                # treat them as conservatively active (superset = correct)
+                act.reshape(self.wp.n_parts, CT)[:, B:] = True
+            keys = part_np[:, None] * CT + cmap_np
+            tile_act = act[keys].any(axis=1)
+        else:
+            act = np.zeros(self.wp.n_parts, bool)
+            act[p] = True
+            tile_act = act[part_np]
+        if self._pad_gid is not None:
+            tile_act[self._pad_gid * tb:] = False
+        return np.nonzero(tile_act.reshape(Gn, tb).any(axis=1))[0]
+
+    def masked(self, x, active, renamed: bool = False):
+        """SpMSpV-analog masked apply: y = A @ x computed by streaming
+        ONLY the tile groups that can touch an active column; all other
+        tiles cost zero HBM bandwidth.  Correct whenever x holds the
+        semiring's multiplicative annihilator outside ``active`` (0 for
+        plus_times, +inf for min_plus; for max_times, 0 with the
+        nonnegative-data convention the app tier already uses) — the
+        sparse-frontier iteration pattern of the GraphLily app tier
+        (unit_tests/test_module_spmv_spmspv.cpp).  The selection is
+        padded to a power of two with identity groups so recompiles are
+        O(log T) over a run."""
+        cfg = self.cfg
+        if cfg.dtype == "fixed":
+            raise ValueError("masked path supports float packs only")
+        self._ensure_pad_group()
+        if self._colp is not None:
+            # natural-space x and active: map both into packed space
+            x = jnp.asarray(x)[self._colp]
+            co = np.asarray(self.wp.col_order)
+            inv = np.empty(len(co), np.int64)
+            inv[co] = np.arange(len(co))
+            ac = np.asarray(active)
+            if ac.dtype == np.bool_:
+                ac = np.nonzero(ac)[0]
+            active = inv[ac]
+        gsel = self.active_groups(active)
+        n = max(1, len(gsel))
+        npow = 1 << (n - 1).bit_length()
+        gsel_p = np.concatenate(
+            [gsel, np.full(npow - len(gsel), self._pad_gid, np.int64)])
+        tb = self.tb
+        part_np, block_np, first_np, cmap_np = self._meta_np
+        tiles = (gsel_p[:, None] * tb + np.arange(tb)).reshape(-1)
+        part_s = part_np[tiles]
+        block_s = block_np[tiles]
+        # first flags re-derive for the subset: the first selected tile
+        # of each block initializes it (group alignment holds — whole
+        # groups are selected)
+        first_s = np.zeros(len(tiles), first_np.dtype)
+        _, fidx = np.unique(block_s, return_index=True)
+        first_s[fidx] = 1
+        cmap_s = (jnp.asarray(cmap_np[tiles].reshape(-1))
+                  if cmap_np is not None else None)
+        y_blocks = _spmv_masked_call(
+            self.vals, self.idxT, jnp.asarray(gsel_p, jnp.int32),
+            jnp.asarray(part_s), jnp.asarray(block_s),
+            jnp.asarray(first_s), jnp.asarray(x), cmap_s,
+            cfg=cfg, n_blocks=self.wp.n_blocks, n_parts=self.wp.n_parts,
+            interpret=self.interpret, variant=self.variant,
+            tiles_per_step=tb)
+        y_renamed = y_blocks.reshape(-1)
+        if renamed:
+            return y_renamed
+        return self.wp.unpack_y(np.asarray(y_renamed))
 
     def unpack_device(self, y_renamed):
         """Renamed -> natural-row-order y entirely on device: one scatter
