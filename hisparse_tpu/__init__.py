@@ -21,6 +21,7 @@ from .formats.wavepack import (Wavepack, pack, decode, save_wavepack,
                                load_wavepack)
 from .ops.spmv import SpmvOperator, spmv
 from .ops.dense import DenseOperator, SpmmOperator, choose_format
+from .ops.autodiff import DiffSpmv
 
 __all__ = [
     "LANES", "SpmvConfig", "GRAPH_CONFIG", "NN_CONFIG",
@@ -28,6 +29,6 @@ __all__ = [
     "normalize_by_outdegree", "dense_csr", "uniform_sparse_csr",
     "powerlaw_csr", "rmat_csr", "block_structured_csr", "Wavepack", "pack", "decode", "save_wavepack",
     "load_wavepack", "SpmvOperator", "spmv", "DenseOperator", "SpmmOperator",
-    "choose_format",
+    "choose_format", "DiffSpmv",
 ]
 __version__ = "0.1.0"

@@ -645,10 +645,27 @@ def decode(wp: Wavepack) -> CSRMatrix:
     catching packing bugs the math model cannot.  Nonzeros with value 0 are
     dropped on both sides of the comparison.
     """
+    lin, rows, cols, vals = slot_coords(wp)
+    import scipy.sparse as sp
+    coo = sp.coo_matrix((vals, (rows, cols)),
+                        shape=(max(wp.num_rows, 1), max(wp.num_cols, 1)))
+    return CSRMatrix.from_scipy(coo.tocsr())
+
+
+def slot_coords(wp: Wavepack):
+    """Per-slot provenance of the emitted stream: ``(lin, rows, cols,
+    vals)`` over every REAL (non-pad) slot, where ``lin = (t*S + s)*128 +
+    lane`` is the slot's flat position in the ``(T, S, 128)`` stream and
+    ``(row, col)`` are the ORIGINAL matrix coordinates the slot encodes.
+    This is the decode() oracle's math with the slot position kept;
+    ops/autodiff.py uses it to scatter CSR-order values/gradients into and
+    out of the packed stream.  Pad slots are identified by the additive
+    identity, so autodiff callers must canonicalize away explicit-zero
+    nonzeros first."""
     cfg = wp.config
     S, R, G = cfg.sublanes, cfg.stripes, cfg.groups
     RPB, VB = cfg.rows_per_block, cfg.vb_cols
-    rows, cols, vals = [], [], []
+    lins, rows, cols, vals = [], [], [], []
     for t in range(wp.num_tiles):
         bk = int(wp.tile_block[t])
         p = int(wp.tile_part[t])
@@ -695,20 +712,20 @@ def decode(wp: Wavepack) -> CSRMatrix:
             col = np.where(col < wp.num_cols, wp.col_order[np.minimum(col, wp.num_cols - 1)], col)
         sigma = s_idx % R
         rho = bk * RPB + sigma * LANES + lam_idx
+        lins.append((t * S + s_idx) * LANES + lam_idx)
         rows.append(wp.perm[rho])
         cols.append(col)
         vals.append(v[s_idx, lam_idx])
     if rows:
+        lins = np.concatenate(lins)
         rows = np.concatenate(rows)
         cols = np.concatenate(cols)
         vals = np.concatenate(vals)
     else:
+        lins = np.zeros(0, np.int64)
         rows = np.zeros(0, np.int64); cols = np.zeros(0, np.int64)
-        vals = np.zeros(0, wp.vals.dtype)
-    import scipy.sparse as sp
-    coo = sp.coo_matrix((vals, (rows, cols)),
-                        shape=(max(wp.num_rows, 1), max(wp.num_cols, 1)))
-    return CSRMatrix.from_scipy(coo.tocsr())
+        vals = np.zeros(0, np.float32 if cfg.dtype != "fixed" else np.uint32)
+    return lins, rows, cols, vals
 
 
 def save_wavepack(path, wp: Wavepack) -> None:

@@ -592,7 +592,8 @@ def _pad_group_aligned(vals, idxT, part, block, first, cmap, tb, pad0):
 
     ff = np.maximum.accumulate(np.where(real, src, -1))  # run's last real
     return (take(vals, pad0), take(idxT, 0), part[ff], block[ff],
-            take(first, 0), take(cmap, 0) if cmap is not None else None)
+            take(first, 0), take(cmap, 0) if cmap is not None else None,
+            src)
 
 
 class SpmvOperator:
@@ -640,6 +641,10 @@ class SpmvOperator:
         # and the pad tiles follow their group's real tiles.
         self.tb = 1
         T = vals.shape[0]
+        # final stream position -> original wp tile (-1 = pad tile); lets
+        # ops/autodiff.py translate slot_coords() positions into the padded
+        # operator stream
+        tile_src = np.arange(T, dtype=np.int64)
         import os
         env_tb = os.environ.get("WP_TB")
         cands = ([int(env_tb)] if env_tb else [4, 2])
@@ -654,6 +659,8 @@ class SpmvOperator:
                     break
             padn = (-T) % self.tb
             if padn:
+                tile_src = np.concatenate(
+                    [tile_src, np.full(padn, -1, np.int64)])
                 vals = np.concatenate(
                     [vals, np.full((padn,) + vals.shape[1:], pad0,
                                    vals.dtype)])
@@ -679,8 +686,10 @@ class SpmvOperator:
                     self.tb = cand
                     break
             if self.tb > 1:
-                vals, idxT, part, block, first, cmap = _pad_group_aligned(
+                (vals, idxT, part, block, first, cmap,
+                 tile_src) = _pad_group_aligned(
                     vals, idxT, part, block, first, cmap, self.tb, pad0)
+        self.tile_src = tile_src
         self.vals = jnp.asarray(vals)
         self.idxT = jnp.asarray(idxT)
         self.part = jnp.asarray(part)
@@ -722,6 +731,8 @@ class SpmvOperator:
             cmap_np = np.concatenate(
                 [cmap_np, np.zeros((tb, cmap_np.shape[1]), cmap_np.dtype)])
         self._meta_np = (part_np, block_np, first_np, cmap_np)
+        self.tile_src = np.concatenate(
+            [self.tile_src, np.full(tb, -1, np.int64)])
         self.part = jnp.asarray(part_np)
         self.block = jnp.asarray(block_np)
         self.first = jnp.asarray(first_np)

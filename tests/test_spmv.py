@@ -287,9 +287,11 @@ def test_pad_group_aligned_edges():
     block = np.array([0, 0, 0, 0, 1, 1, 1], np.int32)
     first = np.array([1, 0, 0, 1, 1, 0, 0], np.int32)
     cmap = np.arange(T * 2, dtype=np.int32).reshape(T, 2)
-    v2, i2, p2, b2, f2, c2 = _pad_group_aligned(
+    v2, i2, p2, b2, f2, c2, src = _pad_group_aligned(
         vals, idxT, part, block, first, cmap, 4, 0.0)
     assert v2.shape[0] % 4 == 0
+    # src maps final positions to original tiles, -1 at pads
+    assert (src >= -1).all() and sorted(src[src >= 0]) == list(range(T))
     # every group uniform in (block, part)
     pg = p2.reshape(-1, 4)
     bg = b2.reshape(-1, 4)
@@ -305,7 +307,7 @@ def test_pad_group_aligned_edges():
     assert (v2[padm] == 0).all() and (f2[padm] == 0).all()
     # single-run stream: only tail padding
     p1 = np.zeros(5, np.int32)
-    v2, i2, p2, b2, f2, c2 = _pad_group_aligned(
+    v2, i2, p2, b2, f2, c2, src = _pad_group_aligned(
         vals[:5], idxT[:5], p1, p1, first[:5], None, 2, 0.0)
     assert v2.shape[0] == 6 and c2 is None
 
