@@ -40,7 +40,7 @@ from ..formats.wavepack import pack, slot_coords
 from .spmv import SpmvOperator, _spmv_call
 
 
-def _canonical(m: CSRMatrix) -> CSRMatrix:
+def canonicalize(m: CSRMatrix) -> CSRMatrix:
     """Sorted-indices, duplicate-summed, explicit-zero-free CSR (zero
     entries are not part of a trainable pattern: they are indistinguishable
     from pad slots in the stream)."""
@@ -51,15 +51,31 @@ def _canonical(m: CSRMatrix) -> CSRMatrix:
     return CSRMatrix.from_scipy(s)
 
 
+def wp_stream_map(wp):
+    """(lin, rows, cols) in the matrix's CSR order for a wavepack: lin[k]
+    is the flat slot position in the (T, S, 128) stream holding CSR nonzero
+    k.  Valid for any stream whose REAL tiles sit at the same positions as
+    ``wp``'s (tail-padding the tile count, as `_pad_tiles` does, preserves
+    it)."""
+    lin, rows, cols, _ = slot_coords(wp)
+    order = np.lexsort((cols, rows))
+    return lin[order], rows[order], cols[order]
+
+
+def steal_src_bits(vals) -> np.ndarray:
+    """The stolen-src low-bits plane of a steal-mantissa vals stream
+    (flat int32; OR'd back into re-emitted value bits on device)."""
+    bits = np.asarray(vals).view(np.uint32) & np.uint32(0x7F)
+    return bits.astype(np.int32).reshape(-1)
+
+
 def _stream_map(op: SpmvOperator):
     """(scatter_idx, rows, cols, src_bits) for an operator: scatter_idx[k]
     is the flat position in the PADDED operator stream holding CSR nonzero
     k (CSR order of the operator's own matrix); src_bits is the stolen-src
     low-bits plane for steal-mantissa packs (zeros elsewhere)."""
     wp = op.wp
-    lin, rows, cols, _ = slot_coords(wp)
-    order = np.lexsort((cols, rows))
-    lin, rows, cols = lin[order], rows[order], cols[order]
+    lin, rows, cols = wp_stream_map(wp)
     # translate wp tile space -> padded operator stream space
     S, L = wp.config.sublanes, 128
     tile_src = op.tile_src
@@ -70,8 +86,7 @@ def _stream_map(op: SpmvOperator):
     assert (new_of_old[t_old] >= 0).all()
     lin = lin + (new_of_old[t_old] - t_old) * (S * L)
     if op.cfg.steal_mantissa:
-        src_bits = (np.asarray(op.vals).view(np.uint32) & np.uint32(0x7F))
-        src_bits = src_bits.astype(np.int32).reshape(-1)
+        src_bits = steal_src_bits(op.vals)
     else:
         src_bits = np.zeros(1, np.int32)
     return lin, rows, cols, src_bits
@@ -124,7 +139,7 @@ class DiffSpmv:
                  configT: SpmvConfig | None = None,
                  interpret: bool = False, split_max="auto",
                  col_order=None, col_orderT=None):
-        m = _canonical(m.astype(np.float32))
+        m = canonicalize(m.astype(np.float32))
         cfg = config or SpmvConfig()
         if cfg.semiring != "plus_times" or cfg.dtype != "fp32":
             raise ValueError("DiffSpmv supports plus_times fp32 packs only")

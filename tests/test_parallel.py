@@ -205,6 +205,90 @@ def test_sharded_2d_perf_estimate_terms(mesh2d):
     np.testing.assert_allclose(agg, 2 * nnz / (t_comp + t_comb) / 1e9)
 
 
+def _diff_refs(m, x, g):
+    A = m.to_scipy()
+    rows = np.repeat(np.arange(m.num_rows), np.diff(m.indptr))
+    return A @ x, A.T @ g, g[rows] * x[m.indices]
+
+
+def _diff_grads(sd, x, g_global):
+    import jax.numpy as jnp
+    f, aux = sd.fn()
+    gp = np.zeros(sd.n_devices * sd.rows_per_shard, np.float32)
+    gp[:len(g_global)] = g_global
+    gp = gp.reshape(sd.n_devices, sd.rows_per_shard)
+
+    def loss(v, xx):
+        return jnp.vdot(f(v, xx, aux), jnp.asarray(gp))
+
+    return jax.grad(loss, argnums=(0, 1))(sd.v0, jnp.asarray(x))
+
+
+@pytest.mark.parametrize("cfg_kind", ["chain", "bm_steal"])
+def test_sharded_diff_matches_dense(mesh, cfg_kind):
+    """Distributed training step: forward, dL/dx (transpose pack + psum
+    over the mesh axis) and dL/dvals (local gathers) all match dense
+    references on the 8-device mesh."""
+    from hisparse_tpu.parallel.train import ShardedDiffSpmv
+    if cfg_kind == "chain":
+        cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=128)
+    else:
+        cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=128,
+                         block_major=True, classes_per_group=2,
+                         steal_mantissa=True, two_choice=False)
+    m = powerlaw_csr(900, 800, 6, seed=11)
+    sd = ShardedDiffSpmv(m, mesh, cfg, interpret=True)
+    m = sd.m
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal(m.num_cols).astype(np.float32)
+    g = rng.standard_normal(m.num_rows).astype(np.float32)
+    y_ref, gx_ref, gv_ref = _diff_refs(m, x, g)
+    tol = 5e-4 if cfg_kind == "bm_steal" else 5e-5
+    y = sd(x)
+    assert np.abs(y - y_ref).max() <= tol * max(1, np.abs(y_ref).max())
+    gv, gx = _diff_grads(sd, x, g)
+    assert np.abs(np.asarray(gx) - gx_ref).max() <= \
+        tol * max(1, np.abs(gx_ref).max())
+    assert np.abs(sd.unstack_values(gv) - gv_ref).max() <= 1e-6
+
+
+def test_sharded_diff_training_step(mesh):
+    """One jitted SGD step on the mesh decreases the loss (the full
+    distributed training-step pattern: sharded values, replicated x,
+    psum'd gradient)."""
+    import jax.numpy as jnp
+    from hisparse_tpu.parallel.train import ShardedDiffSpmv
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=128)
+    m = uniform_sparse_csr(700, 640, 5, seed=17)
+    sd = ShardedDiffSpmv(m, mesh, cfg, interpret=True)
+    f, aux = sd.fn()
+    rng = np.random.default_rng(19)
+    x = jnp.asarray(rng.random(sd.num_cols).astype(np.float32))
+    y_t = jnp.asarray(rng.standard_normal(
+        (sd.n_devices, sd.rows_per_shard)).astype(np.float32))
+
+    def loss(v):
+        r = f(v, x, aux) - y_t
+        return 0.5 * jnp.vdot(r, r)
+
+    lg = jax.jit(jax.value_and_grad(loss))
+    v = sd.v0
+    l0, gv = lg(v)
+    l1, _ = lg(v - 0.05 * gv)
+    assert float(l1) < float(l0)
+    # value round-trip helpers
+    np.testing.assert_array_equal(sd.unstack_values(sd.v0), sd.m.data)
+
+
+def test_sharded_diff_rejects_nondiff(mesh):
+    from hisparse_tpu.parallel.train import ShardedDiffSpmv
+    m = uniform_sparse_csr(128, 128, 3, seed=1)
+    with pytest.raises(ValueError):
+        ShardedDiffSpmv(m, mesh, SpmvConfig(
+            sublanes=128, bank_blocks=1, stripes=128, dtype="fixed",
+            two_choice=False))
+
+
 def test_sharded_2d_rejects_fixed(mesh2d):
     from hisparse_tpu.parallel.mesh import ShardedSpmv2D
     cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=64, dtype="fixed",
