@@ -1,6 +1,11 @@
 """Real-chip smoke + perf check + compiled-vs-interpret parity sweep.
 
-Usage:  python scripts/tpu_check.py [parity|smoke|all]   (default: all)
+Usage:  python scripts/tpu_check.py [parity|smoke|r5|all]   (default: all)
+
+`r5` runs the round-5 device paths on the chip: the masked (SpMSpV-analog)
+tile-group streaming and the DiffSpmv training autodiff (value re-emission
+scatter + grads through the packed kernel and its transpose pack), checked
+against the full/interpret/dense oracles and merged into parity_tpu.json.
 
 The parity sweep is the analog of the reference's csim-vs-hw agreement
 (spmv_csim/csim.cpp:597-613): the compiled Pallas kernel (wrap=True
@@ -122,6 +127,94 @@ def parity_sweep():
     return rec
 
 
+def round5_parity():
+    """Round-5 device paths compiled on the chip: masked streaming vs the
+    full kernel, and DiffSpmv forward/grads vs the dense reference.
+    Results merge into parity_tpu.json under the same families map."""
+    fams = {}
+    ok_all = True
+
+    def record(name, err, tol, t0):
+        nonlocal ok_all
+        ok = bool(err <= tol)
+        fams[name] = {"err": float(err), "tol": tol, "ok": ok,
+                      "secs": round(time.perf_counter() - t0, 1)}
+        ok_all = ok_all and ok
+        print(f"{'OK ' if ok else 'BAD'} {name:18s} err {err:.2e} "
+              f"(tol {tol:g}) {time.perf_counter()-t0:5.1f}s", flush=True)
+
+    # masked (SpMSpV analog): group-skipped stream == full stream
+    masked_cases = [
+        ("masked-chain", dict(bank_blocks=2, two_choice=False),
+         "auto", 1e-6),
+        ("masked-bm-steal", dict(bank_blocks=2, block_major=True,
+                                 classes_per_group=2, two_choice=False,
+                                 steal_mantissa=True), "auto", 1e-6),
+        ("masked-paged", dict(bank_blocks=1, two_choice=False),
+         "paged", 1e-6),
+    ]
+    for i, (name, kw, variant, tol) in enumerate(masked_cases):
+        t0 = time.perf_counter()
+        cfg = SpmvConfig(sublanes=128, stripes=128, **kw)
+        m = powerlaw_csr(3000, 40000, 6, seed=4 + i)
+        wp = pack(m, cfg, split_max=16, col_order="degree")
+        op = SpmvOperator(wp, interpret=False, variant=variant)
+        rng = np.random.default_rng(20 + i)
+        act = rng.choice(m.num_cols, 40, replace=False)
+        x = np.zeros(m.num_cols, np.float32)
+        x[act] = rng.random(40).astype(np.float32) + 0.5
+        y_full = np.asarray(op(x))
+        y_masked = np.asarray(op.masked(x, act))
+        scale = max(np.abs(y_full).max(), 1.0)
+        record(name, np.abs(y_masked - y_full).max() / scale, tol, t0)
+
+    # DiffSpmv: forward + dL/dx + dL/dvals on the chip vs dense refs
+    from hisparse_tpu.ops.autodiff import DiffSpmv
+
+    for steal in (False, True):
+        t0 = time.perf_counter()
+        name = f"diff-{'steal' if steal else 'fp32'}"
+        tol = 5e-4 if steal else 5e-5
+        m = powerlaw_csr(1500, 2000, 6, seed=9 + steal)
+        d = DiffSpmv(m, SpmvConfig(steal_mantissa=steal), interpret=False)
+        m = d.m
+        rng = np.random.default_rng(31 + steal)
+        x = rng.standard_normal(m.num_cols).astype(np.float32)
+        g = rng.standard_normal(m.num_rows).astype(np.float32)
+        A = m.to_scipy()
+        rows = np.repeat(np.arange(m.num_rows), np.diff(m.indptr))
+        y_ref, gx_ref = A @ x, A.T @ g
+        gv_ref = g[rows] * x[m.indices]
+        f, aux = d.fn()
+
+        def loss(v, xx):
+            return jnp.vdot(f(v, xx, aux), jnp.asarray(g))
+
+        gv, gx = jax.grad(loss, argnums=(0, 1))(d.v0, jnp.asarray(x))
+        err = max(
+            np.abs(np.asarray(d(x)) - y_ref).max()
+            / max(1, np.abs(y_ref).max()),
+            np.abs(np.asarray(gx) - gx_ref).max()
+            / max(1, np.abs(gx_ref).max()),
+            np.abs(np.asarray(gv) - gv_ref).max()
+            / max(1, np.abs(gv_ref).max()))
+        record(name, err, tol, t0)
+
+    try:
+        with open("/root/repo/parity_tpu.json") as fh:
+            rec = json.load(fh)
+    except (OSError, ValueError):
+        rec = {"platform": jax.devices()[0].platform,
+               "device": str(jax.devices()[0]), "families": {}, "ok": True}
+    rec["families"].update(fams)
+    rec["ok"] = bool(rec["ok"]) and ok_all
+    with open("/root/repo/parity_tpu.json", "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print(("R5 PARITY PASS" if ok_all else "R5 PARITY FAIL")
+          + " -> parity_tpu.json", flush=True)
+    return ok_all
+
+
 def smoke():
     cfg = SpmvConfig(sublanes=512, bank_blocks=2, stripes=512)
     print("packing...", flush=True)
@@ -163,6 +256,9 @@ if __name__ == "__main__":
     if mode in ("parity", "all"):
         rec = parity_sweep()
         if not rec["ok"]:
+            sys.exit(1)
+    if mode in ("r5", "all"):
+        if not round5_parity():
             sys.exit(1)
     if mode in ("smoke", "all"):
         smoke()
