@@ -692,6 +692,10 @@ def main():
         sssp_bfs_tracking_rows(on_tpu)
     except Exception as e:                                # noqa: BLE001
         print(f"sssp/bfs rows failed: {e!r}", file=sys.stderr, flush=True)
+    try:
+        diffspmv_tracking_row(on_tpu)
+    except Exception as e:                                # noqa: BLE001
+        print(f"diffspmv row failed: {e!r}", file=sys.stderr, flush=True)
 
     g = rec["geomean_gops"]
     entries = rec["entries"]
@@ -789,6 +793,54 @@ def sssp_bfs_tracking_rows(on_tpu):
     print(f"    bfs-100k: depth {lv.max()} | {dt*1e3:.4f} ms/iter | "
           f"{1/dt:6.1f} iters/s | {gops:6.1f} GOPS | "
           f"reached {(lv >= 0).mean():.2f} | preproc {pre:.1f} s",
+          file=sys.stderr, flush=True)
+
+
+def diffspmv_tracking_row(on_tpu):
+    """Timed training row — the regime the reference cannot serve at all
+    (its overlay streams fixed weights, sw/host.cpp:1-80): stream-layout
+    training (StreamDiffSpmv) on the transformer-70 stand-in (512 x
+    33288, 30% density, the tuned idx16-steal config).  The full gradient
+    step is 4 kernel-rate passes (forward, dL/dx through the A^T pack,
+    and one in-layout gradient stream per pack) with NO relayout — the
+    CSR-vector DiffSpmv path pays ~30 ms per 5M-slot XLA scatter/gather
+    relayout instead (scratch/probe_emit.py: 0.15 Gelem/s)."""
+    import jax
+    import jax.numpy as jnp
+    from hisparse_tpu import uniform_sparse_csr
+    from hisparse_tpu.config import SpmvConfig
+    from hisparse_tpu.ops.train_stream import StreamDiffSpmv
+    from hisparse_tpu.utils.bench import device_loop_time
+
+    m = uniform_sparse_csr(512, 33288, int(33288 * 0.30), seed=70)
+    cfg = SpmvConfig(sublanes=512, bank_blocks=1, stripes=4,
+                     steal_mantissa=True, idx16=True, two_choice=False)
+    # the tall-thin A^T pack needs stripes == sublanes to stay resident
+    cfgT = SpmvConfig(sublanes=512, bank_blocks=1, stripes=512,
+                      steal_mantissa=True, idx16=True, two_choice=False)
+    t0 = time.perf_counter()
+    sd = StreamDiffSpmv(m, cfg, cfgT, interpret=not on_tpu,
+                        split_max=None)
+    pre = time.perf_counter() - t0
+    nnz = sd.m.nnz
+    f, aux = sd.fn()
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(sd.num_cols).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal(sd.num_rows).astype(np.float32))
+
+    dt_f = device_loop_time(lambda xx, vA, vT, a: f(vA, vT, xx, a),
+                            x, sd.vA0, sd.vT0, aux)
+
+    def step(vA, xx, vT, a, g):
+        y, vjp = jax.vjp(lambda vv, vt, xv: f(vv, vt, xv, a), vA, vT, xx)
+        gA, gT, gx = vjp(g)
+        return (gA.reshape(-1)[0] + gT.reshape(-1)[0] + gx[0] + y[0])
+
+    dt_s = device_loop_time(step, sd.vA0, x, sd.vT0, aux, ct)
+    print(f"    train-transformer70 (stream-layout): fwd {dt_f*1e3:.4f} ms"
+          f" ({2*nnz/dt_f/1e9:6.1f} GOPS) | grad step {dt_s*1e3:.4f} ms "
+          f"({8*nnz/dt_s/1e9:6.1f} GOPS over 4 kernel passes, "
+          f"{dt_s/dt_f:.2f}x fwd) | pack(A)+pack(A^T) {pre:.1f} s",
           file=sys.stderr, flush=True)
 
 

@@ -199,9 +199,12 @@ def _acc_init(cfg: SpmvConfig, like):
     return jnp.zeros_like(like)
 
 
-def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig, cls_ids=None,
-               wrap: bool = False):
-    """``xt`` is the loaded (CT,128,128) block array for the select-chain
+def _tile_routed(vals, idx, xt, cfg: SpmvConfig, cls_ids=None,
+                 wrap: bool = False):
+    """Decode + banked-gather pipeline shared by the FMA body and the
+    gradient-stream kernel: returns ``(vals', routed)`` — the (possibly
+    steal-cleaned / widened) tile values and the per-slot routed x.
+    ``xt`` is the loaded (CT,128,128) block array for the select-chain
     path, or a ref-getter function c -> (128,128) for block-major."""
     if idx.dtype != jnp.int32:
         # idx16 stream: widen once in VMEM (values are 11-bit nonnegative,
@@ -216,8 +219,7 @@ def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig, cls_ids=None,
     route = functools.partial(_route_x, n_ops=n_ops, cfg=cfg, wrap=wrap)
     if cfg.dtype == "fixed":
         xi = route(idx, get(pltpu_bitcast_i32))
-        routed = pltpu_bitcast_u32(xi)
-        return _fixed_madd(acc, vals, routed)
+        return vals, pltpu_bitcast_u32(xi)
     if cfg.steal_mantissa:
         vbits = pltpu_bitcast_i32(vals)
         # wrap: the crossbar gather reads only the low 7 bits, which ARE
@@ -230,6 +232,14 @@ def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig, cls_ids=None,
         routed = route(idx, get(lambda b: b))
     if vals.dtype == jnp.bfloat16:
         vals = vals.astype(jnp.float32)
+    return vals, routed
+
+
+def _tile_body(vals, idx, xt, acc, cfg: SpmvConfig, cls_ids=None,
+               wrap: bool = False):
+    vals, routed = _tile_routed(vals, idx, xt, cfg, cls_ids, wrap=wrap)
+    if cfg.dtype == "fixed":
+        return _fixed_madd(acc, vals, routed)
     if cfg.semiring == "min_plus":
         return jnp.minimum(acc, vals + routed)
     if cfg.semiring == "max_times":
@@ -329,6 +339,92 @@ def _paged_masked_kernel(tsel_ref, part_ref, block_ref, first_ref,
                          cfg: SpmvConfig, wrap: bool = False, tb: int = 1):
     _paged_kernel(part_ref, block_ref, first_ref, cmap_ref, vals_ref,
                   idxT_ref, xt_ref, out_ref, cfg=cfg, wrap=wrap, tb=tb)
+
+
+def _gradstream_kernel(part_ref, block_ref, cmap_ref, vals_ref, idxT_ref,
+                       mask_ref, gb_ref, xt_ref, out_ref, *,
+                       cfg: SpmvConfig, wrap: bool = False, tb: int = 1):
+    """Per-slot gradient stream: ``out[slot] = g[row(slot)] *
+    x_routed[slot] * is_real[slot]``.
+
+    The forward kernel's row accumulation is POSITIONAL (slot (s, l) of a
+    block-``b`` tile adds into accumulator row (b*S + s, l), folded to
+    output row (b, s % R, l) by `_stripe_fold`) — so the row-broadcast of
+    the output cotangent g is the exact transpose of that accumulation: a
+    VMEM slice of ``gb`` (g pre-broadcast to the (n_blocks*S, 128)
+    accumulator geometry).  No gather, no scatter: this is what makes
+    in-layout gradients run at kernel rate where an XLA gather/scatter
+    relayout of the same stream measures ~0.15 Gelem/s on v5e
+    (scratch/probe_emit.py).  x-routing reuses the forward's
+    `_route_x` pipeline; ``mask`` zeroes pad slots so stream-layout
+    parameters keep their pads at the identity under elementwise
+    optimizer updates."""
+    S = cfg.sublanes
+    G, K = cfg.groups, cfg.classes_per_group
+    t = pl.program_id(0)
+    for j in range(tb):
+        tile = t * tb + j
+        pid = part_ref[tile]
+        bid = block_ref[tile]
+        cls_ids = None
+        if cfg.block_major:
+            xt = lambda c, pid=pid: xt_ref[pid, c]
+            cls_ids = [[cmap_ref[(tile * G + g) * K + i] for i in range(K)]
+                       for g in range(G)]
+        else:
+            xt = xt_ref[pid]
+        _, routed = _tile_routed(vals_ref[j], idxT_ref[j], xt, cfg,
+                                 cls_ids, wrap=wrap)
+        off = pl.multiple_of(bid * S, S)
+        out_ref[j] = gb_ref[pl.ds(off, S), :] * routed * mask_ref[j]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_parts",
+                                             "interpret", "tiles_per_step"))
+def _gradstream_call(vals, idxT, mask, part, block, g_acc, x, cmap=None, *,
+                     cfg: SpmvConfig, n_blocks: int, n_parts: int,
+                     interpret: bool = False, tiles_per_step: int = 1):
+    """Gradient-stream kernel over a RESIDENT pack: returns dL/dvals in
+    the pack's own stream layout (same shape as ``vals``).  ``g_acc`` is
+    the output cotangent already broadcast to the (n_blocks*S, 128)
+    accumulator geometry; ``mask`` is the static real-slot 0/1 stream.
+    ``vals`` is read only for the steal-mantissa crossbar source bits
+    (plus_times fp32 training packs only).  The >VMEM paged regime keeps
+    the DiffSpmv vector-argument path instead."""
+    S = cfg.sublanes
+    T = vals.shape[0]
+    interpret = interpret or jax.default_backend() == "cpu"
+    XT = _build_xt(x, cfg, n_parts)
+    if cfg.block_major:
+        assert cmap is not None
+        cmap = cmap.reshape(-1)
+    tb = tiles_per_step if T % tiles_per_step == 0 else 1
+    return pl.pallas_call(
+        functools.partial(_gradstream_kernel, cfg=cfg, wrap=not interpret,
+                          tb=tb),
+        grid=(T // tb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tb, S, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, S, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, S, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, S, LANES), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, S, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(part, block,
+      cmap if cmap is not None else jnp.zeros(1, jnp.int32),
+      vals, idxT, mask, g_acc, XT)
 
 
 def resident_bytes(cfg: SpmvConfig, n_blocks: int, n_parts: int,

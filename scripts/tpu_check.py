@@ -200,6 +200,48 @@ def round5_parity():
             / max(1, np.abs(gv_ref).max()))
         record(name, err, tol, t0)
 
+    # stream-layout training: the compiled gradient-stream Pallas kernel
+    # (in-layout dL/dvals for BOTH packs) + dL/dx vs dense references
+    from hisparse_tpu.ops.train_stream import StreamDiffSpmv
+
+    stream_cases = [
+        ("stream-chain", {}),
+        ("stream-bm-steal", dict(block_major=True, classes_per_group=2,
+                                 steal_mantissa=True, two_choice=False)),
+    ]
+    for i, (name, kw) in enumerate(stream_cases):
+        t0 = time.perf_counter()
+        steal = kw.get("steal_mantissa", False)
+        tol = 5e-4 if steal else 5e-5
+        cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=128, **kw)
+        m = powerlaw_csr(1500, 2000, 6, seed=12 + i)
+        sd = StreamDiffSpmv(m, cfg, interpret=False)
+        m = sd.m
+        rng = np.random.default_rng(41 + i)
+        x = rng.standard_normal(m.num_cols).astype(np.float32)
+        g = rng.standard_normal(m.num_rows).astype(np.float32)
+        A = m.to_scipy()
+        rows = np.repeat(np.arange(m.num_rows), np.diff(m.indptr))
+        y_ref, gx_ref = A @ x, A.T @ g
+        gv_ref = g[rows] * x[m.indices]
+        f, aux = sd.fn()
+
+        def loss(vA, vT, xx):
+            return jnp.vdot(f(vA, vT, xx, aux), jnp.asarray(g))
+
+        gA, gT, gx = jax.grad(loss, argnums=(0, 1, 2))(
+            sd.vA0, sd.vT0, jnp.asarray(x))
+        gvT = np.asarray(gT).reshape(-1)[np.asarray(sd.aux["mapT"])]
+        gsc = max(1, np.abs(gv_ref).max())
+        err = max(
+            np.abs(np.asarray(sd(x)) - y_ref).max()
+            / max(1, np.abs(y_ref).max()),
+            np.abs(np.asarray(gx) - gx_ref).max()
+            / max(1, np.abs(gx_ref).max()),
+            np.abs(sd.grads_csr(gA) - gv_ref).max() / gsc,
+            np.abs(gvT - gv_ref).max() / gsc)
+        record(name, err, tol, t0)
+
     try:
         with open("/root/repo/parity_tpu.json") as fh:
             rec = json.load(fh)
