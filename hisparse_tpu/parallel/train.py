@@ -47,7 +47,9 @@ from ..formats.csr import CSRMatrix, csr_to_csc
 from ..formats.wavepack import pack
 from ..ops.autodiff import (canonicalize, steal_src_bits, wp_stream_map,
                             _emit_vals)
-from ..ops.spmv import _spmv_call
+from ..ops.spmv import (_spmv_call, _gradstream_call, resident_bytes,
+                        _RESIDENT_VMEM_BUDGET)
+from ..ops.train_stream import _bcast_to_acc
 from .mesh import _pack_shards, _pad_tiles
 
 
@@ -289,4 +291,207 @@ class ShardedDiffSpmv:
         v = self.v0 if v_stacked is None else v_stacked
         y = self._apply(v, jnp.asarray(np.asarray(x, np.float32)),
                         self.aux)
+        return np.asarray(y).reshape(-1)[:self.num_rows]
+
+
+class ShardedStreamDiffSpmv(ShardedDiffSpmv):
+    """Distributed STREAM-LAYOUT training: the mesh form of
+    :class:`~..ops.train_stream.StreamDiffSpmv`.
+
+    ``ShardedDiffSpmv`` re-emits each device's packed streams from the
+    stacked value vector every call — an arbitrary relayout that XLA's
+    TPU scatter/gather runs at ~0.15 Gelem/s (scratch/probe_emit.py),
+    dominating a real-chip training step.  Here each device's trainable
+    parameters ARE its two packed value streams (``vA``/``vT``, stacked
+    and row-sharded over the mesh), gradients arrive already in each
+    layout from the gradient-stream Pallas kernel, and the only
+    collective stays the one ``psum`` for ``dL/dx``.  Elementwise
+    updates (:meth:`sgd_step`) keep all 2*n_devices layout copies
+    bit-consistent — see train_stream.py for the invariant.
+
+    Resident-variant shard packs only (the gradient-stream kernel keeps
+    the whole accumulator-geometry cotangent in VMEM)."""
+
+    def __init__(self, m: CSRMatrix, mesh: Mesh,
+                 config: SpmvConfig | None = None,
+                 configT: SpmvConfig | None = None,
+                 split_max: int | None | str = "auto",
+                 interpret: bool = False):
+        super().__init__(m, mesh, config, configT, split_max, interpret)
+        for tag, cfg, nb, npp in (("A", self.cfg, self.NBA, self.NPA),
+                                  ("T", self.cfgT, self.NBT, self.NPT)):
+            if resident_bytes(cfg, nb, npp) > _RESIDENT_VMEM_BUDGET:
+                raise ValueError(
+                    f"ShardedStreamDiffSpmv needs resident shard packs; "
+                    f"the {tag} packs exceed the VMEM budget — use "
+                    "ShardedDiffSpmv")
+        spec = NamedSharding(self.mesh, P(self.axis))
+        put = functools.partial(jax.device_put, device=spec)
+
+        def mask_stack(packs, maps, shape):
+            n = int(np.prod(shape))
+            mk = np.zeros((self.n_devices, n), np.float32)
+            for d, nnz in enumerate(self.nnz_shard):
+                mk[d, np.asarray(maps)[d, :nnz]] = 1.0
+            return put(mk.reshape((self.n_devices,) + shape))
+
+        aux = dict(self.aux)
+        aux["maskA"] = mask_stack(self.packsA, aux["mapA"], self.shapeA)
+        aux["maskT"] = mask_stack(self.packsT, aux["mapT"], self.shapeT)
+        if self.cfg.steal_mantissa:
+            aux["splantA"] = put(np.stack(
+                [steal_src_bits(w.vals).reshape(self.shapeA)
+                 for w in self.packsA]))
+        if self.cfgT.steal_mantissa:
+            aux["splantT"] = put(np.stack(
+                [steal_src_bits(w.vals).reshape(self.shapeT)
+                 for w in self.packsT]))
+        self.aux = aux
+        # parameters: the packed streams themselves, stacked + sharded
+        self.vA0 = put(np.stack([w.vals for w in self.packsA]))
+        self.vT0 = put(np.stack([w.vals for w in self.packsT]))
+        self._apply = self._build_stream()
+
+    # -- value plumbing --------------------------------------------------
+    def _read(self, v, maps, steal):
+        vs = np.asarray(v).reshape(self.n_devices, -1)
+        maps = np.asarray(maps)
+        out = np.concatenate([vs[d, maps[d, :n]]
+                              for d, n in enumerate(self.nnz_shard)])
+        if steal:
+            out = (out.view(np.uint32)
+                   & np.uint32(0xFFFFFF80)).view(np.float32)
+        return out
+
+    def values(self, vA) -> np.ndarray:
+        """Global CSR-order values read back from the A-layout streams."""
+        return self._read(vA, self.aux["mapA"], self.cfg.steal_mantissa)
+
+    def values_T(self, vT) -> np.ndarray:
+        return self._read(vT, self.aux["mapT"], self.cfgT.steal_mantissa)
+
+    def grads_csr(self, gA) -> np.ndarray:
+        return self._read(gA, self.aux["mapA"], False)
+
+    # -- elementwise updates ---------------------------------------------
+    def clean(self, vA, vT):
+        aux = self.aux
+        if "splantA" in aux:
+            vA = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(vA, jnp.int32)
+                & jnp.int32(-128), jnp.float32)
+        if "splantT" in aux:
+            vT = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(vT, jnp.int32)
+                & jnp.int32(-128), jnp.float32)
+        return vA, vT
+
+    def replant(self, vA, vT):
+        aux = self.aux
+        if "splantA" in aux:
+            bits = jax.lax.bitcast_convert_type(vA, jnp.int32)
+            vA = jax.lax.bitcast_convert_type(
+                (bits & jnp.int32(-128)) | aux["splantA"], jnp.float32)
+        if "splantT" in aux:
+            bits = jax.lax.bitcast_convert_type(vT, jnp.int32)
+            vT = jax.lax.bitcast_convert_type(
+                (bits & jnp.int32(-128)) | aux["splantT"], jnp.float32)
+        return vA, vT
+
+    def sgd_step(self, vA, vT, gA, gT, lr):
+        vA, vT = self.clean(vA, vT)
+        return self.replant(vA - lr * gA, vT - lr * gT)
+
+    # -- the differentiable sharded stream step --------------------------
+    def _build_stream(self):
+        cfg, cfgT = self.cfg, self.cfgT
+        NBA, NPA, NBT, NPT = self.NBA, self.NPA, self.NBT, self.NPT
+        SA, RA = cfg.sublanes, cfg.stripes
+        ST, RT = cfgT.sublanes, cfgT.stripes
+        rows_per_shard, num_cols = self.rows_per_shard, self.num_cols
+        axis = self.axis
+        interpret = self.interpret
+        mesh = self.mesh
+        has_cmap = {k: (k in self.aux) for k in ("cmapA", "cmapT")}
+
+        def smap(f, in_specs, out_specs):
+            return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False)
+
+        def fwd_local(vA, x, aux):
+            y_ren = _spmv_call(
+                vA[0], aux["idxTA"][0], aux["partA"][0], aux["blockA"][0],
+                aux["firstA"][0], x,
+                aux["cmapA"][0] if has_cmap["cmapA"] else None,
+                cfg=cfg, n_blocks=NBA, n_parts=NPA,
+                interpret=interpret).reshape(-1)
+            y = jnp.zeros(rows_per_shard + 1, y_ren.dtype)
+            return y.at[aux["permA"][0]].add(y_ren)[None, :rows_per_shard]
+
+        def bwd_local(vA, vT, x, g, aux):
+            # dL/dx: transpose-pack kernel + the one DP all-reduce
+            xb_ren = _spmv_call(
+                vT[0], aux["idxTT"][0], aux["partT"][0], aux["blockT"][0],
+                aux["firstT"][0], g[0],
+                aux["cmapT"][0] if has_cmap["cmapT"] else None,
+                cfg=cfgT, n_blocks=NBT, n_parts=NPT,
+                interpret=interpret).reshape(-1)
+            xb = jnp.zeros(num_cols + 1, xb_ren.dtype)
+            xb = xb.at[aux["permT"][0]].add(xb_ren)[:num_cols]
+            xb = jax.lax.psum(xb, axis)
+            # in-layout gradient streams, no relayout, no collective
+            g_ext = jnp.concatenate([g[0], jnp.zeros(1, g.dtype)])
+            gbA = _bcast_to_acc(g_ext, aux["permA"][0], NBA, SA, RA)
+            gA = _gradstream_call(
+                vA[0], aux["idxTA"][0], aux["maskA"][0], aux["partA"][0],
+                aux["blockA"][0], gbA, x,
+                aux["cmapA"][0] if has_cmap["cmapA"] else None,
+                cfg=cfg, n_blocks=NBA, n_parts=NPA, interpret=interpret)
+            x_ext = jnp.concatenate(
+                [x.astype(jnp.float32), jnp.zeros(1, jnp.float32)])
+            gbT = _bcast_to_acc(x_ext, aux["permT"][0], NBT, ST, RT)
+            gT = _gradstream_call(
+                vT[0], aux["idxTT"][0], aux["maskT"][0], aux["partT"][0],
+                aux["blockT"][0], gbT, g[0],
+                aux["cmapT"][0] if has_cmap["cmapT"] else None,
+                cfg=cfgT, n_blocks=NBT, n_parts=NPT, interpret=interpret)
+            return gA[None], gT[None], xb
+
+        sh = P(axis)
+        aux_specs = {k: sh for k in self.aux}
+        f_fwd = smap(fwd_local, (sh, P(), aux_specs), sh)
+        f_bwd = smap(bwd_local, (sh, sh, P(), sh, aux_specs),
+                     (sh, sh, P()))
+
+        def _zero_ct(p):
+            if jnp.issubdtype(p.dtype, jnp.inexact):
+                return jnp.zeros_like(p)
+            return np.zeros(p.shape, jax.dtypes.float0)
+
+        @jax.custom_vjp
+        def apply(vA, vT, x, aux):
+            return f_fwd(vA, x, aux)
+
+        def fwd(vA, vT, x, aux):
+            return f_fwd(vA, x, aux), (vA, vT, x, aux)
+
+        def bwd(res, g):
+            vA, vT, x, aux = res
+            gA, gT, x_bar = f_bwd(vA, vT, x, g, aux)
+            return (gA, gT, x_bar.astype(x.dtype),
+                    {k: _zero_ct(p) for k, p in aux.items()})
+
+        apply.defvjp(fwd, bwd)
+        return apply
+
+    def fn(self):
+        """(f, aux): ``f(vA, vT, x, aux) -> y_padded``.  ``(vA, vT)`` are
+        two views of ONE parameter (see train_stream.py): update both
+        elementwise (``sgd_step``) to keep them bit-consistent."""
+        return self._apply, self.aux
+
+    def __call__(self, x, vA=None) -> np.ndarray:
+        v = self.vA0 if vA is None else vA
+        y = self._apply(v, self.vT0,
+                        jnp.asarray(np.asarray(x, np.float32)), self.aux)
         return np.asarray(y).reshape(-1)[:self.num_rows]

@@ -280,6 +280,65 @@ def test_sharded_diff_training_step(mesh):
     np.testing.assert_array_equal(sd.unstack_values(sd.v0), sd.m.data)
 
 
+@pytest.mark.parametrize("cfg_kind", ["chain", "bm_steal"])
+def test_sharded_stream_diff_matches_dense(mesh, cfg_kind):
+    """Distributed STREAM-LAYOUT training: forward, dL/dx (one psum) and
+    the in-layout gradient streams of BOTH packs match dense references
+    on the 8-device mesh; elementwise updates keep all layout copies
+    bit-consistent."""
+    import jax.numpy as jnp
+    from hisparse_tpu.parallel.train import ShardedStreamDiffSpmv
+    if cfg_kind == "chain":
+        cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=128)
+    else:
+        cfg = SpmvConfig(sublanes=128, bank_blocks=2, stripes=128,
+                         block_major=True, classes_per_group=2,
+                         steal_mantissa=True, two_choice=False)
+    m = powerlaw_csr(900, 800, 6, seed=11)
+    sd = ShardedStreamDiffSpmv(m, mesh, cfg, interpret=True)
+    m = sd.m
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal(m.num_cols).astype(np.float32)
+    g = rng.standard_normal(m.num_rows).astype(np.float32)
+    y_ref, gx_ref, gv_ref = _diff_refs(m, x, g)
+    tol = 5e-4 if cfg_kind == "bm_steal" else 5e-5
+    y = sd(x)
+    assert np.abs(y - y_ref).max() <= tol * max(1, np.abs(y_ref).max())
+    f, aux = sd.fn()
+    gp = np.zeros(sd.n_devices * sd.rows_per_shard, np.float32)
+    gp[:len(g)] = g
+    gp = jnp.asarray(gp.reshape(sd.n_devices, sd.rows_per_shard))
+
+    def loss(vA, vT, xx):
+        return jnp.vdot(f(vA, vT, xx, aux), gp)
+
+    gA, gT, gx = jax.grad(loss, argnums=(0, 1, 2))(
+        sd.vA0, sd.vT0, jnp.asarray(x))
+    assert np.abs(np.asarray(gx) - gx_ref).max() <= \
+        tol * max(1, np.abs(gx_ref).max())
+    # the in-layout gradient streams are EXACT in both layouts
+    np.testing.assert_array_equal(sd.grads_csr(gA), gv_ref)
+    np.testing.assert_array_equal(sd._read(gT, sd.aux["mapT"], False),
+                                  gv_ref)
+    # one jitted SGD step: layouts stay bit-consistent, loss decreases
+    step = jax.jit(lambda vA, vT, gA, gT: sd.sgd_step(vA, vT, gA, gT,
+                                                      0.01))
+    vA, vT = step(sd.vA0, sd.vT0, gA, gT)
+    np.testing.assert_array_equal(sd.values(vA), sd.values_T(vT))
+    assert float(loss(vA, vT, jnp.asarray(x))) < \
+        float(loss(sd.vA0, sd.vT0, jnp.asarray(x)))
+
+
+def test_sharded_stream_rejects_paged(mesh, monkeypatch):
+    import hisparse_tpu.parallel.train as train_mod
+    from hisparse_tpu.parallel.train import ShardedStreamDiffSpmv
+    monkeypatch.setattr(train_mod, "_RESIDENT_VMEM_BUDGET", 1)
+    m = uniform_sparse_csr(256, 256, 3, seed=2)
+    with pytest.raises(ValueError, match="resident"):
+        ShardedStreamDiffSpmv(m, mesh, SpmvConfig(
+            sublanes=128, bank_blocks=1, stripes=128), interpret=True)
+
+
 def test_sharded_diff_rejects_nondiff(mesh):
     from hisparse_tpu.parallel.train import ShardedDiffSpmv
     m = uniform_sparse_csr(128, 128, 3, seed=1)
