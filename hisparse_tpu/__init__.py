@@ -19,7 +19,7 @@ from .formats.csr import (CSRMatrix, load_npz, save_npz, round_dims,
                           rmat_csr, block_structured_csr)
 from .formats.wavepack import (Wavepack, pack, decode, save_wavepack,
                                load_wavepack)
-from .ops.spmv import SpmvOperator, spmv
+from .ops.spmv import SpmvOperator, spmv, spmm
 from .ops.dense import DenseOperator, SpmmOperator, choose_format
 from .ops.autodiff import DiffSpmv
 
@@ -28,7 +28,8 @@ __all__ = [
     "CSRMatrix", "load_npz", "save_npz", "round_dims",
     "normalize_by_outdegree", "dense_csr", "uniform_sparse_csr",
     "powerlaw_csr", "rmat_csr", "block_structured_csr", "Wavepack", "pack", "decode", "save_wavepack",
-    "load_wavepack", "SpmvOperator", "spmv", "DenseOperator", "SpmmOperator",
+    "load_wavepack", "SpmvOperator", "spmv", "spmm", "DenseOperator",
+    "SpmmOperator",
     "choose_format", "DiffSpmv",
 ]
 __version__ = "0.1.0"

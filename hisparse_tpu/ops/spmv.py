@@ -322,6 +322,178 @@ def _paged_kernel(part_ref, block_ref, first_ref, cmap_ref, vals_ref,
                                 cfg, cls_ids, wrap=wrap)
 
 
+def _resident_spmm_kernel(part_ref, block_ref, cmap_ref, vals_ref,
+                          idxT_ref, xt_ref, out_ref, *, cfg: SpmvConfig,
+                          wrap: bool = False, tb: int = 1, F: int = 1):
+    """Multi-vector (SpMM) resident body: one vals/idxT stream pass feeds
+    ``F`` feature columns.  ``xt_ref`` is the F-stacked bank-block array
+    (n_parts, F, CT, 128, 128); ``out_ref`` the F-stacked accumulator
+    (F, n_blocks*S, 128).  The matrix stream (8 B/slot) is DMA'd ONCE for
+    all F features — the gather/route pipeline repeats per feature on
+    VMEM-resident data, so arithmetic intensity scales with F where SpMV
+    is stream-bound.  This is the aggregation primitive (y = A @ X) of
+    GNN layers over the packed graph; the reference has no multi-vector
+    path (its overlay streams x once per SpMV, spmv_vector_loader.cpp)."""
+    S, G, K = cfg.sublanes, cfg.groups, cfg.classes_per_group
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = _acc_init(cfg, out_ref)
+
+    for j in range(tb):
+        tile = t * tb + j
+        pid = part_ref[tile]
+        bid = block_ref[tile]
+        cls_ids = None
+        if cfg.block_major:
+            cls_ids = [[cmap_ref[(tile * G + g) * K + i] for i in range(K)]
+                       for g in range(G)]
+        off = pl.multiple_of(bid * S, S)
+        for f in range(F):
+            if cfg.block_major:
+                xt = lambda c, pid=pid, f=f: xt_ref[pid, f, c]
+            else:
+                xt = xt_ref[pid, f]
+            acc = out_ref[f, pl.ds(off, S), :]
+            out_ref[f, pl.ds(off, S), :] = _tile_body(
+                vals_ref[j], idxT_ref[j], xt, acc, cfg, cls_ids, wrap=wrap)
+
+
+def _paged_spmm_kernel(part_ref, block_ref, first_ref, cmap_ref, vals_ref,
+                       idxT_ref, xt_ref, out_ref, *, cfg: SpmvConfig,
+                       wrap: bool = False, tb: int = 1, F: int = 1):
+    """Paged SpMM body: the y block (F, S, 128) and the x partition
+    (1, F, CT, 128, 128) page by the prefetched ids (see _paged_kernel for
+    the group-alignment contract)."""
+    G, K = cfg.groups, cfg.classes_per_group
+    t = pl.program_id(0)
+    for j in range(tb):
+        tile = t * tb + j
+
+        @pl.when(first_ref[tile] == 1)
+        def _():
+            out_ref[0] = _acc_init(cfg, out_ref[0])
+
+        cls_ids = None
+        if cfg.block_major:
+            cls_ids = [[cmap_ref[(tile * G + g) * K + i] for i in range(K)]
+                       for g in range(G)]
+        for f in range(F):
+            if cfg.block_major:
+                xt = lambda c, f=f: xt_ref[0, f, c]
+            else:
+                xt = xt_ref[0, f]
+            out_ref[0, f] = _tile_body(vals_ref[j], idxT_ref[j], xt,
+                                       out_ref[0, f], cfg, cls_ids,
+                                       wrap=wrap)
+
+
+def _build_xt_multi(X, cfg: SpmvConfig, n_parts: int):
+    """F-stacked vector-loader: (num_cols, F) -> (n_parts, F, CT, 128, 128)
+    (partition-leading so the paged variant pages whole per-partition
+    F-stacks)."""
+    return jax.vmap(lambda xf: _build_xt(xf, cfg, n_parts),
+                    in_axes=1, out_axes=1)(X)
+
+
+def spmm_bytes(cfg: SpmvConfig, n_blocks: int, n_parts: int, F: int,
+               tiles_per_step: int = 1, variant: str = "resident") -> int:
+    """VMEM footprint of an F-feature SpMM step (chunking bound)."""
+    xt_page = cfg.total_blocks * 128 * 128 * 4
+    streams = 4 * cfg.sublanes * LANES * 4 * 2 * tiles_per_step
+    if variant == "resident":
+        return (n_parts * F * xt_page + F * n_blocks * cfg.sublanes
+                * LANES * 4 + streams)
+    xt = F * xt_page * (1 if n_parts == 1 else 2)
+    return xt + 2 * F * cfg.sublanes * LANES * 4 + streams
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_blocks", "n_parts",
+                                             "interpret", "variant",
+                                             "tiles_per_step"))
+def _spmm_call(vals, idxT, part, block, first, X, cmap=None, *,
+               cfg: SpmvConfig, n_blocks: int, n_parts: int,
+               interpret: bool = False, variant: str = "resident",
+               tiles_per_step: int = 1):
+    """Multi-vector SpMV over a packed stream: X is (num_cols, F) in the
+    pack's column space; returns per-feature renamed y blocks
+    (F, n_blocks * R * LANES after stripe fold).  F is static via X's
+    shape."""
+    S, R = cfg.sublanes, cfg.stripes
+    T = vals.shape[0]
+    F = X.shape[1]
+    interpret = interpret or jax.default_backend() == "cpu"
+    XT = _build_xt_multi(X, cfg, n_parts)
+    if cfg.block_major:
+        assert cmap is not None
+        cmap = cmap.reshape(-1)
+    tb = tiles_per_step if T % tiles_per_step == 0 else 1
+    cmap_arg = cmap if cmap is not None else jnp.zeros(1, jnp.int32)
+    if variant == "resident":
+        out = pl.pallas_call(
+            functools.partial(_resident_spmm_kernel, cfg=cfg,
+                              wrap=not interpret, tb=tb, F=F),
+            grid=(T // tb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((tb, S, LANES), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, S, LANES), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((F, n_blocks * S, LANES),
+                                   lambda t: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((F, n_blocks * S, LANES),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(part, block, cmap_arg, vals, idxT, XT)
+        return _stripe_fold(out.reshape(F * n_blocks, S // R, R, LANES),
+                            cfg).reshape(F, n_blocks * R * LANES)
+    xt_spec = (pl.BlockSpec(memory_space=pltpu.VMEM)
+               if n_parts == 1 else
+               pl.BlockSpec((1, F, cfg.total_blocks, 128, 128),
+                            lambda t, pr, br, fr, cm: (pr[t * tb],
+                                                       0, 0, 0, 0),
+                            memory_space=pltpu.VMEM))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, S, LANES), lambda t, pr, br, fr, cm: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, S, LANES), lambda t, pr, br, fr, cm: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            xt_spec,
+        ],
+        out_specs=pl.BlockSpec((1, F, S, LANES),
+                               lambda t, pr, br, fr, cm: (br[t * tb],
+                                                          0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_paged_spmm_kernel, cfg=cfg, wrap=not interpret,
+                          tb=tb, F=F),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, F, S, LANES),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(part, block, first, cmap_arg, vals, idxT, XT)
+    touched = jnp.zeros((n_blocks,), jnp.bool_).at[block].set(True)
+    out = jnp.where(touched[:, None, None, None], out, _acc_init(cfg, out))
+    out = out.transpose(1, 0, 2, 3)     # (F, n_blocks, S, LANES)
+    return _stripe_fold(out.reshape(F * n_blocks, S // R, R, LANES),
+                        cfg).reshape(F, n_blocks * R * LANES)
+
+
 def _resident_masked_kernel(tsel_ref, part_ref, block_ref, cmap_ref,
                             vals_ref, idxT_ref, xt_ref, out_ref, *,
                             cfg: SpmvConfig, wrap: bool = False,
@@ -929,6 +1101,71 @@ class SpmvOperator:
             return y_renamed
         return self.wp.unpack_y(np.asarray(y_renamed))
 
+    def matmul(self, X, renamed: bool = False):
+        """Multi-vector SpMM ``Y = A @ X`` through the PACKED stream
+        (X: (num_cols, F) dense features; returns (num_rows, F)).
+
+        One vals/idxT stream pass feeds every feature column in the
+        chunk, so arithmetic intensity scales with F where SpMV is
+        stream-bound — the aggregation primitive of a GNN layer over the
+        packed graph (the dense-MXU :class:`~..ops.dense.SpmmOperator`
+        covers the moderate-density regime; this is the low-density one).
+        Features are chunked so the F-stacked XT + accumulator stay under
+        the VMEM budget; each chunk re-streams the matrix once."""
+        cfg = self.cfg
+        if cfg.dtype == "fixed":
+            raise ValueError("matmul supports float packs only")
+        X = jnp.asarray(X)
+        if X.ndim != 2:
+            raise ValueError("matmul takes (num_cols, F) features")
+        if self._colp is not None:
+            X = X[self._colp, :]
+        F = X.shape[1]
+        wp = self.wp
+        # scalar-prefetch bound: part/block/first + the block-major cmap
+        # live in SMEM (~1 MB window); a pathological pack (huge tile
+        # count at tiny fill) overflows it with an opaque compile error,
+        # so fail early with the actionable message instead.
+        smem_words = wp.num_tiles * (3 + (cfg.groups * cfg.classes_per_group
+                                          if cfg.block_major else 0))
+        if not self.interpret and smem_words > 240_000:
+            raise ValueError(
+                f"pack has {wp.num_tiles} tiles -> {smem_words} scalar-"
+                "prefetch words, over the ~1 MB SMEM window; repack with "
+                "larger tiles (fewer sublanes splits) or higher fill")
+        fc = 1
+        while fc < min(F, 16) and spmm_bytes(
+                cfg, wp.n_blocks, wp.n_parts, 2 * fc, self.tb,
+                self.variant) <= _RESIDENT_VMEM_BUDGET:
+            fc *= 2
+        outs = []
+        f0 = 0
+        while f0 < F:
+            f1 = min(f0 + fc, F)
+            outs.append(_spmm_call(
+                self.vals, self.idxT, self.part, self.block, self.first,
+                X[:, f0:f1], self.cmap, cfg=cfg, n_blocks=wp.n_blocks,
+                n_parts=wp.n_parts, interpret=self.interpret,
+                variant=self.variant, tiles_per_step=self.tb))
+            f0 = f1
+        y_ren = jnp.concatenate(outs, axis=0)    # (F, renamed)
+        if renamed:
+            return y_ren
+        # per-feature renamed -> natural rows, one vectorized scatter
+        perm = jnp.asarray(wp.perm)
+        n = wp.num_rows
+        sr = cfg.semiring
+        init = {"plus_times": 0.0, "min_plus": jnp.inf,
+                "max_times": -jnp.inf}[sr]
+        out = jnp.full((F, n + 1), init, y_ren.dtype)
+        if sr == "plus_times":
+            out = out.at[:, perm].add(y_ren)
+        elif sr == "min_plus":
+            out = out.at[:, perm].min(y_ren)
+        else:
+            out = jnp.maximum(out.at[:, perm].max(y_ren), 0.0)
+        return out[:, :n].T
+
     def unpack_device(self, y_renamed):
         """Renamed -> natural-row-order y entirely on device: one scatter
         over the stored perm combining hub-split partials with the
@@ -990,6 +1227,12 @@ class SpmvOperator:
 def spmv(wp: Wavepack, x, interpret: bool = False, variant: str = "auto"):
     """One-shot SpMV y = A @ x from a packed matrix."""
     return SpmvOperator(wp, interpret=interpret, variant=variant)(x)
+
+
+def spmm(wp: Wavepack, X, interpret: bool = False, variant: str = "auto"):
+    """One-shot multi-vector SpMM Y = A @ X (X: (num_cols, F)) through the
+    packed stream — see :meth:`SpmvOperator.matmul`."""
+    return SpmvOperator(wp, interpret=interpret, variant=variant).matmul(X)
 
 
 class HybridSpmv:

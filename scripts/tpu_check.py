@@ -242,6 +242,32 @@ def round5_parity():
             np.abs(gvT - gv_ref).max() / gsc)
         record(name, err, tol, t0)
 
+    # packed-stream SpMM (multi-vector SpMV): compiled Y = A @ X vs the
+    # scipy dense reference, covering the chain, block-major-steal and
+    # paged variants (one matrix-stream pass feeds all F feature columns)
+    spmm_cases = [
+        ("spmm-chain", dict(bank_blocks=2, two_choice=False), "auto",
+         5, 1e-5),
+        ("spmm-bm-steal", dict(bank_blocks=2, block_major=True,
+                               classes_per_group=2, two_choice=False,
+                               steal_mantissa=True), "auto", 8, 5e-4),
+        ("spmm-paged", dict(bank_blocks=1, two_choice=False), "paged",
+         4, 1e-5),
+    ]
+    for i, (name, kw, variant, F, tol) in enumerate(spmm_cases):
+        t0 = time.perf_counter()
+        cfg = SpmvConfig(sublanes=128, stripes=128, **kw)
+        nc_extra = 2 * 128 * 128 if variant == "paged" else 0
+        m = powerlaw_csr(2500, cfg.vb_cols + nc_extra, 6, seed=61 + i)
+        wp = pack(m, cfg, split_max=16)
+        op = SpmvOperator(wp, interpret=False, variant=variant)
+        rng = np.random.default_rng(71 + i)
+        X = rng.standard_normal((m.num_cols, F)).astype(np.float32)
+        Y = np.asarray(op.matmul(X))
+        Y_ref = m.to_scipy() @ X
+        record(name, np.abs(Y - Y_ref).max() / max(1, np.abs(Y_ref).max()),
+               tol, t0)
+
     try:
         with open("/root/repo/parity_tpu.json") as fh:
             rec = json.load(fh)
