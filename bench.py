@@ -685,6 +685,10 @@ def main():
     except Exception as e:                                # noqa: BLE001
         print(f"bcsr row failed: {e!r}", file=sys.stderr, flush=True)
     try:
+        spmm_tracking_row(on_tpu)
+    except Exception as e:                                # noqa: BLE001
+        print(f"spmm row failed: {e!r}", file=sys.stderr, flush=True)
+    try:
         pagerank_tracking_row(on_tpu)
     except Exception as e:                                # noqa: BLE001
         print(f"pagerank row failed: {e!r}", file=sys.stderr, flush=True)
@@ -842,6 +846,52 @@ def diffspmv_tracking_row(on_tpu):
           f"({8*nnz/dt_s/1e9:6.1f} GOPS over 4 kernel passes, "
           f"{dt_s/dt_f:.2f}x fwd) | pack(A)+pack(A^T) {pre:.1f} s",
           file=sys.stderr, flush=True)
+
+
+def spmm_tracking_row(on_tpu):
+    """Timed packed-stream SpMM row: Y = A @ X with F=16 feature columns
+    through the wavepack kernel on the transformer-70 stand-in (tuned
+    idx16-steal config) — one vals/idxT stream pass feeds all features
+    (ops/spmv.py::matmul; the dense-MXU bcsr row below covers the
+    block-structured regime)."""
+    import jax.numpy as jnp
+    from hisparse_tpu import uniform_sparse_csr, pack, SpmvOperator
+    from hisparse_tpu.config import SpmvConfig
+    from hisparse_tpu.ops.spmv import _spmm_call
+    from hisparse_tpu.utils.bench import device_loop_time
+
+    # off-TPU this is a no-crash check only: interpret-mode Pallas costs
+    # seconds per call, so shrink the matrix/F and accept a loose slope
+    F = 16 if on_tpu else 4
+    nc = 33288 if on_tpu else 4096
+    m = uniform_sparse_csr(512, nc, int(nc * 0.30), seed=70)
+    cfg = SpmvConfig(sublanes=512, bank_blocks=1, stripes=4,
+                     steal_mantissa=True, idx16=True, two_choice=False)
+    t0 = time.perf_counter()
+    wp = pack(m, cfg)
+    pre = time.perf_counter() - t0
+    op = SpmvOperator(wp, interpret=not on_tpu)
+    rng = np.random.default_rng(4)
+    X = jnp.asarray(rng.standard_normal((m.num_cols, F))
+                    .astype(np.float32))
+    Y = np.asarray(op.matmul(np.asarray(X)))
+    ref = m.to_scipy() @ np.asarray(X)
+    err = np.abs(Y - ref).max() / max(np.abs(ref).max(), 1)
+
+    def fn(XX, vals, idxT, part, block, first):
+        return _spmm_call(vals, idxT, part, block, first, XX, None,
+                          cfg=cfg, n_blocks=wp.n_blocks,
+                          n_parts=wp.n_parts, interpret=op.interpret,
+                          variant=op.variant, tiles_per_step=op.tb)
+
+    dt = device_loop_time(fn, X, op.vals, op.idxT, op.part, op.block,
+                          op.first,
+                          target_spread_s=2.0 if on_tpu else 0.1)
+    gops = 2 * m.nnz * F / dt / 1e9
+    print(f"    spmm-transformer70 (F={F}): {dt*1e3:.4f} ms | "
+          f"{gops:7.1f} GOPS | stream {wp.stream_bytes/dt/1e9:6.1f} GB/s"
+          f" (one pass for all {F} cols) | err {err:.1e} | "
+          f"pack {pre:.1f} s", file=sys.stderr, flush=True)
 
 
 def bcsr_tracking_row(on_tpu):
