@@ -268,6 +268,39 @@ def round5_parity():
         record(name, np.abs(Y - Y_ref).max() / max(1, np.abs(Y_ref).max()),
                tol, t0)
 
+    # GNN tier: GCN forward + weight grads (DiffSpmm packed-stream SpMM
+    # forward, transpose-pack cotangent) vs the all-dense GCN oracle
+    from hisparse_tpu.models.gnn import GCN
+
+    t0 = time.perf_counter()
+    m = powerlaw_csr(1500, 1500, 6, seed=83)
+    gcn = GCN(m, [16, 8, 4], interpret=False)
+    params = gcn.init(seed=2)
+    rng = np.random.default_rng(91)
+    X = jnp.asarray(rng.standard_normal((1500, 16)).astype(np.float32))
+    G = jnp.asarray(rng.standard_normal((1500, 4)).astype(np.float32))
+    apply, aux = gcn.fn()
+    Ahat = jnp.asarray(gcn.agg.m.dense())
+
+    def dense_apply(p, X):
+        h = X
+        for i, q in enumerate(p):
+            h = Ahat @ (h @ q["w"]) + q["b"]
+            if i < len(p) - 1:
+                h = jax.nn.relu(h)
+        return h
+
+    out = np.asarray(apply(params, X, aux))
+    ref = np.asarray(dense_apply(params, X))
+    gs = jax.grad(lambda p: jnp.vdot(apply(p, X, aux), G))(params)
+    gd = jax.grad(lambda p: jnp.vdot(dense_apply(p, X), G))(params)
+    gerr = max(
+        np.abs(np.asarray(a[k]) - np.asarray(b[k])).max()
+        / max(1, np.abs(np.asarray(b[k])).max())
+        for a, b in zip(gs, gd) for k in ("w", "b"))
+    record("gnn-gcn", max(np.abs(out - ref).max()
+                          / max(1, np.abs(ref).max()), gerr), 1e-4, t0)
+
     try:
         with open("/root/repo/parity_tpu.json") as fh:
             rec = json.load(fh)
