@@ -103,6 +103,40 @@ def _spmm_natural(op: SpmvOperator, X, aux, suffix: str):
     return out[:, :n].T
 
 
+def gcn_init_params(dims, seed: int = 0):
+    """He-initialized GCN parameter pytree: [{'w','b'}, ...]."""
+    rng = np.random.default_rng(seed)
+    params = []
+    for din, dout in zip(dims[:-1], dims[1:]):
+        w = (rng.standard_normal((din, dout))
+             * np.sqrt(2.0 / din)).astype(np.float32)
+        params.append({"w": jnp.asarray(w),
+                       "b": jnp.zeros(dout, jnp.float32)})
+    return params
+
+
+def gcn_apply_fn(f, dims):
+    """The GCN forward over any aggregation ``f(H, aux) -> Â H`` (local
+    DiffSpmm or the mesh-sharded form): per layer the cheaper of the two
+    mathematically identical orders ``Â (H W)`` / ``(Â H) W`` is chosen
+    statically by feature width; relu between layers, final layer
+    linear."""
+    nl = len(dims) - 1
+
+    def apply(params, X, aux):
+        h = X
+        for i, p in enumerate(params):
+            if dims[i + 1] < dims[i]:       # narrow first: Â (H W)
+                h = f(h @ p["w"], aux) + p["b"]
+            else:                            # (Â H) W
+                h = f(h, aux) @ p["w"] + p["b"]
+            if i < nl - 1:
+                h = jax.nn.relu(h)
+        return h
+
+    return apply
+
+
 class DiffSpmm:
     """``Y = A @ X`` (X: (num_cols, F) features) differentiable in X.
 
@@ -190,32 +224,10 @@ class GCN:
 
     def init(self, seed: int = 0):
         """He-initialized parameter pytree: [{'w','b'}, ...]."""
-        rng = np.random.default_rng(seed)
-        params = []
-        for din, dout in zip(self.dims[:-1], self.dims[1:]):
-            w = (rng.standard_normal((din, dout))
-                 * np.sqrt(2.0 / din)).astype(np.float32)
-            params.append({"w": jnp.asarray(w),
-                           "b": jnp.zeros(dout, jnp.float32)})
-        return params
+        return gcn_init_params(self.dims, seed)
 
     def _build(self):
-        f, _ = self.agg.fn()
-        dims = self.dims
-        nl = len(dims) - 1
-
-        def apply(params, X, aux):
-            h = X
-            for i, p in enumerate(params):
-                if dims[i + 1] < dims[i]:       # narrow first: Â (H W)
-                    h = f(h @ p["w"], aux) + p["b"]
-                else:                            # (Â H) W
-                    h = f(h, aux) @ p["w"] + p["b"]
-                if i < nl - 1:
-                    h = jax.nn.relu(h)
-            return h
-
-        return apply
+        return gcn_apply_fn(self.agg.fn()[0], self.dims)
 
     def fn(self):
         """(apply, aux): ``apply(params, X, aux) -> logits`` jittable +

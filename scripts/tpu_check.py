@@ -269,7 +269,11 @@ def round5_parity():
                tol, t0)
 
     # GNN tier: GCN forward + weight grads (DiffSpmm packed-stream SpMM
-    # forward, transpose-pack cotangent) vs the all-dense GCN oracle
+    # forward, transpose-pack cotangent) vs the all-dense GCN oracle.
+    # Both the model's MXU projections and the oracle's dense aggregation
+    # must run at precision=highest: the TPU default is single-pass bf16
+    # (~1e-2 relative), which would swamp the packed-kernel parity this
+    # family actually tests.
     from hisparse_tpu.models.gnn import GCN
 
     t0 = time.perf_counter()
@@ -290,10 +294,11 @@ def round5_parity():
                 h = jax.nn.relu(h)
         return h
 
-    out = np.asarray(apply(params, X, aux))
-    ref = np.asarray(dense_apply(params, X))
-    gs = jax.grad(lambda p: jnp.vdot(apply(p, X, aux), G))(params)
-    gd = jax.grad(lambda p: jnp.vdot(dense_apply(p, X), G))(params)
+    with jax.default_matmul_precision("highest"):
+        out = np.asarray(apply(params, X, aux))
+        ref = np.asarray(dense_apply(params, X))
+        gs = jax.grad(lambda p: jnp.vdot(apply(p, X, aux), G))(params)
+        gd = jax.grad(lambda p: jnp.vdot(dense_apply(p, X), G))(params)
     gerr = max(
         np.abs(np.asarray(a[k]) - np.asarray(b[k])).max()
         / max(1, np.abs(np.asarray(b[k])).max())
@@ -308,7 +313,9 @@ def round5_parity():
         rec = {"platform": jax.devices()[0].platform,
                "device": str(jax.devices()[0]), "families": {}, "ok": True}
     rec["families"].update(fams)
-    rec["ok"] = bool(rec["ok"]) and ok_all
+    # recompute from the merged family map — a once-failed family must
+    # not latch rec["ok"] false after a fixed rerun overwrites its row
+    rec["ok"] = all(f["ok"] for f in rec["families"].values())
     with open("/root/repo/parity_tpu.json", "w") as fh:
         json.dump(rec, fh, indent=1)
     print(("R5 PARITY PASS" if ok_all else "R5 PARITY FAIL")

@@ -12,10 +12,19 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from hisparse_tpu.config import SpmvConfig
 from hisparse_tpu.formats.csr import powerlaw_csr, uniform_sparse_csr
 from hisparse_tpu.models.gnn import GCN, DiffSpmm, gcn_normalize
+from hisparse_tpu.parallel.gnn import ShardedDiffSpmm, ShardedGCN
+
+
+@pytest.fixture
+def mesh():
+    devs = np.array(jax.devices()[:8])
+    assert devs.size == 8, "conftest must force 8 CPU devices"
+    return Mesh(devs, ("rows",))
 
 BM = SpmvConfig(sublanes=128, bank_blocks=2, stripes=128, block_major=True,
                 classes_per_group=2, steal_mantissa=True, two_choice=False)
@@ -105,3 +114,54 @@ def test_gcn_matches_dense_and_trains():
     params2 = jax.tree.map(lambda p, gg: p - 0.5 * gg, params, g)
     l1, _ = lfun(params2)
     assert float(l1) < float(l0)
+
+
+def test_sharded_diffspmm_forward_and_grad(mesh):
+    """Row-sharded aggregation on the 8-device mesh vs dense: forward
+    (all_gather re-replication) and dL/dX (transpose-shard packs + the
+    one psum), non-square to catch row/col mixups."""
+    m = powerlaw_csr(300, 260, 5.0, seed=13)
+    d = ShardedDiffSpmm(m, mesh, interpret=True)
+    A = d.m.dense().astype(np.float64)
+    rng = np.random.default_rng(17)
+    F = 4
+    X = rng.standard_normal((d.num_cols, F)).astype(np.float32)
+    G = rng.standard_normal((d.num_rows, F)).astype(np.float32)
+    Y = np.asarray(d(X))
+    ref = A @ X
+    assert Y.shape == (d.num_rows, F)
+    assert np.abs(Y - ref).max() <= 5e-5 * max(1.0, np.abs(ref).max())
+    f, aux = d.fn()
+    gx = jax.grad(lambda xx: jnp.vdot(f(xx, aux), jnp.asarray(G)))(
+        jnp.asarray(X))
+    gx_ref = A.T @ G
+    assert np.abs(np.asarray(gx) - gx_ref).max() <= \
+        5e-5 * max(1.0, np.abs(gx_ref).max())
+
+
+def test_sharded_gcn_matches_single_chip(mesh):
+    """ShardedGCN == single-chip GCN with the same params: outputs and
+    weight gradients agree, so a trained model moves between the two
+    unchanged."""
+    m = uniform_sparse_csr(264, 264, 5, seed=21)
+    dims = [12, 8, 3]
+    local = GCN(m, dims, interpret=True)
+    shard = ShardedGCN(m, mesh, dims, interpret=True)
+    params = shard.init(seed=3)
+    rng = np.random.default_rng(23)
+    X = jnp.asarray(rng.standard_normal((264, dims[0])).astype(np.float32))
+    G = jnp.asarray(rng.standard_normal((264, dims[-1])).astype(np.float32))
+    apL, auxL = local.fn()
+    apS, auxS = shard.fn()
+    outL = np.asarray(apL(params, X, auxL))
+    outS = np.asarray(apS(params, X, auxS))
+    sc = max(1.0, np.abs(outL).max())
+    np.testing.assert_allclose(outS, outL, atol=5e-5 * sc, rtol=5e-4)
+    gL = jax.grad(lambda p: jnp.vdot(apL(p, X, auxL), G))(params)
+    gS = jax.grad(lambda p: jnp.vdot(apS(p, X, auxS), G))(params)
+    for a, b in zip(gS, gL):
+        for k in ("w", "b"):
+            ref = np.asarray(b[k])
+            np.testing.assert_allclose(
+                np.asarray(a[k]), ref,
+                atol=5e-5 * max(1.0, np.abs(ref).max()), rtol=5e-4)
