@@ -64,6 +64,30 @@ def ici_allreduce_time(bytes_per_device: int, n_devices: int,
         / (ici_gbps * 1e9)
 
 
+def default_dcn_gbps() -> float:
+    """Per-host DCN bandwidth for the multi-host model.  The built-in
+    25 GB/s is the public per-host v5e data-center-network figure (the
+    scaling-book planning number) and is UNVALIDATED here (single-host
+    environment); override with WP_DCN_GBPS or the dcn_gbps argument the
+    first time a real multi-host run can calibrate it."""
+    import os
+    return float(os.environ.get("WP_DCN_GBPS", 25.0))
+
+
+def dcn_allgather_time(bytes_total: int, n_hosts: int,
+                       dcn_gbps: float | None = None) -> float:
+    """Modeled ring all-gather of ``bytes_total`` (the full vector, built
+    from per-host shards) over the DCN axis.  MODEL-ONLY, same caveats as
+    :func:`ici_allreduce_time`: standard ring cost (n-1)/n * bytes / bw,
+    per-hop latency ignored (the redistributed vectors here are MBs,
+    bandwidth-dominated over a ~25 GB/s NIC)."""
+    if n_hosts <= 1:
+        return 0.0
+    if dcn_gbps is None:
+        dcn_gbps = default_dcn_gbps()
+    return ((n_hosts - 1) / n_hosts) * bytes_total / (dcn_gbps * 1e9)
+
+
 def _pack_one(args):
     sub, cfg, split_max = args
     return pack(sub, cfg, split_max=split_max)
@@ -417,3 +441,69 @@ class ShardedSpmv2D:
                 out = np.maximum(out, 0.0)
             outs.append(out)
         return np.concatenate(outs)
+
+
+class ShardedSpmvMultiHost(ShardedSpmv2D):
+    """Multi-host scale-out: a (hosts x chips-per-host) mesh where the
+    FIRST axis spans the data-center network and the second stays inside
+    each host's ICI domain.
+
+    The reference never leaves one card (its 16 clusters share one U280,
+    spmv.ini:15-30), so multi-host is a framework-native extension; the
+    design rule is the scaling-book one — lay shardings out so the hot
+    collective rides ICI, never DCN:
+
+      * rows shard over the HOST axis.  Row ownership is disjoint (the
+        same argument as the reference's channel merge,
+        stream_utils.h:35-75), so the step needs NO cross-host
+        collective at all;
+      * columns shard over the CHIP axis, and the semiring partial
+        combine (psum / pmin / pmax) runs over "chips" only — by
+        construction it rides ICI;
+      * the only DCN traffic is x redistribution BETWEEN steps (each
+        host's y shard all-gathered to every host when iterations
+        chain, e.g. PageRank), modeled by :func:`dcn_allgather_time`
+        and reported separately by :meth:`perf_estimate`.
+
+    Functionally this is :class:`ShardedSpmv2D` with (rows, cols) ->
+    (hosts, chips); the subclass pins the axis semantics and adds the
+    DCN term.  Numerics are identical — validated against the 1-D form
+    in tests and the driver dryrun.  The environment has one host, so
+    like the ICI constant the DCN figure is a labeled model default
+    (WP_DCN_GBPS) awaiting a real multi-host calibration run.
+    """
+
+    def __init__(self, m: CSRMatrix, mesh: Mesh,
+                 config: SpmvConfig | None = None,
+                 split_max: int | None | str = None,
+                 interpret: bool = False,
+                 dcn_gbps: float | None = None):
+        if len(mesh.axis_names) != 2:
+            raise ValueError(
+                "multi-host mesh needs exactly (hosts, chips) axes")
+        self.dcn_gbps = dcn_gbps
+        super().__init__(m, mesh, config=config, split_max=split_max,
+                         interpret=interpret)
+        self.n_hosts, self.chips_per_host = mesh.devices.shape
+
+    def perf_estimate(self, hbm_gbps: float = 819.0,
+                      ici_gbps: float | None = None,
+                      dcn_gbps: float | None = None,
+                      chained: bool = True):
+        """(per-piece estimates, aggregate GOPS, t_compute_s, t_ici_s,
+        t_dcn_s).  ``t_ici_s`` is the chips-axis combine (inherited
+        model); ``t_dcn_s`` is the inter-step x redistribution over
+        hosts — zero when ``chained=False`` (one-shot x already
+        distributed) or on a single host."""
+        ests, _, t_comp, t_ici = super().perf_estimate(hbm_gbps, ici_gbps)
+        t_dcn = 0.0
+        if chained:
+            itemsize = 2 if self.cfg.dtype == "bf16" else 4
+            x_bytes = self.grid[0][0].num_cols \
+                * self.mesh.devices.shape[1] * itemsize
+            t_dcn = dcn_allgather_time(
+                x_bytes, self.mesh.devices.shape[0],
+                dcn_gbps if dcn_gbps is not None else self.dcn_gbps)
+        nnz = sum(wp.nnz for row in self.grid for wp in row)
+        gops = 2 * nnz / (t_comp + t_ici + t_dcn) / 1e9
+        return ests, gops, t_comp, t_ici, t_dcn
