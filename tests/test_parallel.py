@@ -205,6 +205,98 @@ def test_sharded_2d_perf_estimate_terms(mesh2d):
     np.testing.assert_allclose(agg, 2 * nnz / (t_comp + t_comb) / 1e9)
 
 
+def test_multihost_matches_1d():
+    """(hosts x chips) mesh == 1-D sharding == golden: the multi-host
+    form is numerically the 2-D grid with rows over the DCN axis and the
+    combine pinned to the intra-host chips axis."""
+    from hisparse_tpu.parallel.mesh import ShardedSpmvMultiHost
+    mesh_mh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                   ("hosts", "chips"))
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=64)
+    m = powerlaw_csr(900, 1100, 8, alpha=1.1, seed=3)
+    op = ShardedSpmvMultiHost(m, mesh_mh, cfg, split_max="auto",
+                              interpret=True)
+    assert (op.n_hosts, op.chips_per_host) == (2, 4)
+    x = np.random.default_rng(0).random(m.num_cols).astype(np.float32)
+    y = op.unpack_y(op(x))[:m.num_rows]
+    ref = spmv_f64(m, x)
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4 * abs(ref).max())
+
+
+def test_multihost_perf_terms(monkeypatch):
+    """The multi-host estimate separates compute / ICI-combine / DCN
+    terms: DCN zero when not chained, scales with WP_DCN_GBPS, and the
+    aggregate uses the three-term sum."""
+    from hisparse_tpu.parallel.mesh import (ShardedSpmvMultiHost,
+                                            dcn_allgather_time)
+    assert dcn_allgather_time(1 << 20, 1) == 0.0
+    mesh_mh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                   ("hosts", "chips"))
+    cfg = SpmvConfig(sublanes=128, bank_blocks=1, stripes=64)
+    m = powerlaw_csr(900, 1100, 8, alpha=1.1, seed=3)
+    op = ShardedSpmvMultiHost(m, mesh_mh, cfg, split_max="auto",
+                              interpret=True)
+    ests, agg, t_comp, t_ici, t_dcn = op.perf_estimate()
+    assert t_comp > 0 and t_ici > 0 and t_dcn > 0
+    nnz = sum(wp.nnz for row in op.grid for wp in row)
+    np.testing.assert_allclose(agg, 2 * nnz / (t_comp + t_ici + t_dcn) / 1e9)
+    _, _, _, _, t0 = op.perf_estimate(chained=False)
+    assert t0 == 0.0
+    monkeypatch.setenv("WP_DCN_GBPS", "50.0")
+    _, _, _, _, t_fast = op.perf_estimate()
+    np.testing.assert_allclose(t_fast, t_dcn / 2.0)
+
+
+def test_multihost_needs_two_axes(mesh):
+    from hisparse_tpu.parallel.mesh import ShardedSpmvMultiHost
+    m = uniform_sparse_csr(300, 300, 4, seed=1)
+    with pytest.raises(ValueError, match="hosts, chips"):
+        ShardedSpmvMultiHost(m, mesh, SpmvConfig(), interpret=True)
+
+
+def test_sharded_pagerank_matches_reference(mesh):
+    """One-jit mesh PageRank (device fori_loop + all_gather per
+    iteration) == the numpy golden and the single-chip class."""
+    from hisparse_tpu.parallel.apps import ShardedPageRank
+    from hisparse_tpu.models.apps import pagerank_reference
+    m = powerlaw_csr(600, 600, 6.0, seed=7)
+    pr = ShardedPageRank(m, mesh, interpret=True)
+    got = pr.run(iters=15)
+    ref = pagerank_reference(m, iters=15)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4 * ref.max())
+
+
+def test_sharded_sssp_early_exit_matches_dijkstra(mesh):
+    """Mesh Bellman-Ford converges in O(diameter) device iterations (the
+    while_loop early-exit) and matches scipy Dijkstra, including
+    unreachable nodes."""
+    from hisparse_tpu.parallel.apps import ShardedSSSP
+    from hisparse_tpu.models.apps import sssp_reference
+    m = uniform_sparse_csr(500, 500, 4, seed=9)
+    m.data[:] = np.abs(m.data) + 0.1
+    ss = ShardedSSSP(m, mesh, interpret=True)
+    d = ss.run(0)
+    ref = sssp_reference(m, 0)
+    fin = np.isfinite(ref)
+    assert (np.isinf(d) == ~fin).all()
+    np.testing.assert_allclose(d[fin], ref[fin], rtol=1e-5, atol=1e-5)
+    assert ss.iters_run < m.num_rows - 1   # early exit actually fired
+
+
+def test_sharded_bfs_levels(mesh):
+    """Mesh BFS levels (device-side level bookkeeping) == scipy
+    unweighted shortest path, -1 for unreachable."""
+    import scipy.sparse.csgraph as csgraph
+    from hisparse_tpu.parallel.apps import ShardedBFS
+    m = uniform_sparse_csr(500, 500, 4, seed=9)
+    bf = ShardedBFS(m, mesh, interpret=True)
+    lv = bf.run(0)
+    ref = csgraph.shortest_path(m.to_scipy() != 0, unweighted=True,
+                                indices=0)
+    ref = np.where(np.isinf(ref), -1, ref).astype(np.int64)
+    assert (lv == ref).all()
+
+
 def _diff_refs(m, x, g):
     A = m.to_scipy()
     rows = np.repeat(np.arange(m.num_rows), np.diff(m.indptr))
