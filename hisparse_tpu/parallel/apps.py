@@ -10,16 +10,18 @@ early-exit inside the loop condition), and one ``all_gather`` per
 iteration re-replicating the new vector over ICI.
 
 Unlike the single-chip apps (models/apps.py), which chain iterations in
-the RENAMED space via the P A Pᵀ column-permuted pack and fold hub-split
-partials with the kernel-rate combine-tree SpMV, the mesh forms keep the
-iterate in NATURAL order: each device folds its renamed y straight to
-its natural row shard with one semiring scatter (`.at[].add/min/max`
-over the pack's perm).  That is the simple, provably-correct layout for
-SPMD (the all_gather'd vector means the same thing on every device);
-the scatter is a known XLA-TPU soft spot (~0.15 Gelem/s measured,
-scratch/probe_emit.py), so on real multi-chip hardware the per-device
-combine-tree of the single-chip path is the optimization to port once
-the scatter term actually binds a measurement.
+the RENAMED space via the P A Pᵀ column-permuted pack, the mesh forms
+keep the iterate in NATURAL order (the all_gather'd vector means the
+same thing on every device).  The renamed-y -> natural-shard fold is
+itself a packed SpMV (``fold="combine"``, the default): each device
+builds ONE 0/1 selection pack mapping its rank-layout partials to its
+natural row shard — ``row_order=arange`` makes the combine's rank
+layout literally natural order — so hub-split partials recombine at
+kernel rate and the iteration never touches XLA's TPU scatter (the
+measured ~0.15 Gelem/s soft spot, scratch/probe_emit.py).
+``fold="scatter"`` keeps the one-semiring-scatter form
+(`.at[].add/min/max` over the pack's perm) as the simple oracle both
+paths are tested against.
 """
 from __future__ import annotations
 
@@ -52,10 +54,13 @@ class _ShardedSemiringStep:
     rows_per_shard``, replicated."""
 
     def __init__(self, m: CSRMatrix, mesh: Mesh, cfg: SpmvConfig,
-                 split_max, interpret: bool):
+                 split_max, interpret: bool, fold: str = "combine"):
+        if fold not in ("combine", "scatter"):
+            raise ValueError(f"unknown fold mode {fold!r}")
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.cfg = cfg
+        self.fold = fold
         self.interpret = interpret
         nd = mesh.devices.size
         self.n_devices = nd
@@ -80,6 +85,37 @@ class _ShardedSemiringStep:
         }
         if self.packs[0].class_map is not None:
             aux["cmap"] = stack(lambda w: w.class_map.reshape(-1))
+        if fold == "combine":
+            # one 0/1 selection pack per device folding its rank-layout
+            # partials straight to the natural local row shard: fanout_cap
+            # above the worst hub-split fan-in forces a SINGLE level, and
+            # row_order=arange makes the combine's rank layout == natural
+            # order (models/apps.py:build_combine builds the matrix)
+            from ..models.apps import build_combine
+            fan = 1
+            for w in self.packs:
+                p = w.perm[w.perm < rps].astype(np.int64)
+                if p.size:
+                    fan = max(fan, int(np.bincount(p).max()))
+            levels = [build_combine(w, rps, np.arange(rps), cfg.semiring,
+                                    interpret, fanout_cap=max(fan + 1, 32))
+                      for w in self.packs]
+            assert all(len(lv) == 1 for lv in levels), \
+                "mesh combine must be single-level by fanout_cap choice"
+            cpk = [lv[0][0] for lv in levels]
+            TC = max(w.num_tiles for w in cpk)
+            NBC = max(w.n_blocks for w in cpk)
+            cpk = [_pad_tiles(w, TC, NBC) for w in cpk]
+            assert len({w.n_parts for w in cpk}) == 1    # common width
+            self.c_cfg = cpk[0].config
+            self.c_blocks, self.c_parts = NBC, cpk[0].n_parts
+            cstack = lambda f: jax.device_put(
+                np.stack([f(w) for w in cpk]), spec)
+            aux["c_vals"] = cstack(lambda w: np.asarray(w.vals))
+            aux["c_idxT"] = cstack(lambda w: np.asarray(w.idxT))
+            aux["c_part"] = cstack(lambda w: w.tile_part)
+            aux["c_block"] = cstack(lambda w: w.tile_block)
+            aux["c_first"] = cstack(lambda w: w.tile_first)
         self.aux = aux
 
     def local_step(self):
@@ -89,6 +125,9 @@ class _ShardedSemiringStep:
         n, rps, axis = self.num_cols, self.rows_per_shard, self.axis
         interpret = self.interpret
         has_cmap = "cmap" in self.aux
+        combine = self.fold == "combine"
+        if combine:
+            c_cfg, CB, CP = self.c_cfg, self.c_blocks, self.c_parts
         scatter = _SCATTER[cfg.semiring]
         ident = _IDENT[cfg.semiring]
 
@@ -98,8 +137,20 @@ class _ShardedSemiringStep:
                            aux["cmap"][0] if has_cmap else None,
                            cfg=cfg, n_blocks=NB, n_parts=NP,
                            interpret=interpret)
-            out = jnp.full((rps + 1,), ident, y.dtype)
-            y_d = scatter(out, aux["perm"][0], y.reshape(-1))[:rps]
+            if combine:
+                # rank layout of A's y feeds the selection pack; the
+                # combine's own rank layout IS the natural local shard
+                xr = y.reshape(NB, cfg.stripes, 128).transpose(2, 1, 0)
+                yc = _spmv_call(aux["c_vals"][0], aux["c_idxT"][0],
+                                aux["c_part"][0], aux["c_block"][0],
+                                aux["c_first"][0], xr.reshape(-1),
+                                cfg=c_cfg, n_blocks=CB, n_parts=CP,
+                                interpret=interpret)
+                y_d = yc.reshape(CB, c_cfg.stripes, 128) \
+                        .transpose(2, 1, 0).reshape(-1)[:rps]
+            else:
+                out = jnp.full((rps + 1,), ident, y.dtype)
+                y_d = scatter(out, aux["perm"][0], y.reshape(-1))[:rps]
             return jax.lax.all_gather(y_d, axis, tiled=True)
 
         return f
@@ -123,7 +174,8 @@ class ShardedPageRank:
 
     def __init__(self, adj: CSRMatrix, mesh: Mesh,
                  config: SpmvConfig | None = None, damping: float = 0.85,
-                 interpret: bool = False, split_max="auto"):
+                 interpret: bool = False, split_max="auto",
+                 fold: str = "combine"):
         if adj.num_rows != adj.num_cols:
             raise ValueError("PageRank needs a square adjacency matrix")
         cfg = config or SpmvConfig()
@@ -132,7 +184,8 @@ class ShardedPageRank:
         self.n = adj.num_rows
         self.damping = damping
         m = normalize_by_outdegree(adj.astype(np.float32))
-        self.st = _ShardedSemiringStep(m, mesh, cfg, split_max, interpret)
+        self.st = _ShardedSemiringStep(m, mesh, cfg, split_max, interpret,
+                                       fold)
         nd, rps = self.st.n_devices, self.st.rows_per_shard
         valid = np.zeros(nd * rps, np.float32)
         valid[:self.n] = 1.0
@@ -169,7 +222,8 @@ class ShardedSSSP:
 
     def __init__(self, adj: CSRMatrix, mesh: Mesh,
                  config: SpmvConfig | None = None,
-                 interpret: bool = False, split_max="auto"):
+                 interpret: bool = False, split_max="auto",
+                 fold: str = "combine"):
         import dataclasses as _dc
         if adj.num_rows != adj.num_cols:
             raise ValueError("SSSP needs a square weighted adjacency matrix")
@@ -178,7 +232,8 @@ class ShardedSSSP:
                           steal_mantissa=False)
         self.n = adj.num_rows
         at = csr_to_csc(adj.astype(np.float32))
-        self.st = _ShardedSemiringStep(at, mesh, cfg, split_max, interpret)
+        self.st = _ShardedSemiringStep(at, mesh, cfg, split_max, interpret,
+                                       fold)
         step = self.st.local_step()
 
         def run(max_iters, d0, aux):
@@ -217,7 +272,8 @@ class ShardedBFS:
 
     def __init__(self, adj: CSRMatrix, mesh: Mesh,
                  config: SpmvConfig | None = None,
-                 interpret: bool = False, split_max="auto"):
+                 interpret: bool = False, split_max="auto",
+                 fold: str = "combine"):
         import dataclasses as _dc
         cfg = config or SpmvConfig()
         cfg = _dc.replace(cfg, semiring="max_times", dtype="fp32",
@@ -226,7 +282,8 @@ class ShardedBFS:
         at = csr_to_csc(adj)
         at = CSRMatrix(at.num_rows, at.num_cols,
                        np.ones(at.nnz, np.float32), at.indices, at.indptr)
-        self.st = _ShardedSemiringStep(at, mesh, cfg, split_max, interpret)
+        self.st = _ShardedSemiringStep(at, mesh, cfg, split_max, interpret,
+                                       fold)
         step = self.st.local_step()
 
         def run(max_iters, frontier0, reached0, level0, aux):

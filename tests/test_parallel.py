@@ -254,27 +254,50 @@ def test_multihost_needs_two_axes(mesh):
         ShardedSpmvMultiHost(m, mesh, SpmvConfig(), interpret=True)
 
 
-def test_sharded_pagerank_matches_reference(mesh):
+@pytest.mark.parametrize("fold", ["combine", "scatter"])
+def test_sharded_pagerank_matches_reference(mesh, fold):
     """One-jit mesh PageRank (device fori_loop + all_gather per
-    iteration) == the numpy golden and the single-chip class."""
+    iteration) == the numpy golden and the single-chip class, with the
+    renamed->natural fold either as the kernel-rate combine pack or the
+    oracle semiring scatter."""
     from hisparse_tpu.parallel.apps import ShardedPageRank
     from hisparse_tpu.models.apps import pagerank_reference
     m = powerlaw_csr(600, 600, 6.0, seed=7)
-    pr = ShardedPageRank(m, mesh, interpret=True)
+    pr = ShardedPageRank(m, mesh, interpret=True, fold=fold)
     got = pr.run(iters=15)
     ref = pagerank_reference(m, iters=15)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4 * ref.max())
 
 
-def test_sharded_sssp_early_exit_matches_dijkstra(mesh):
+def test_sharded_pagerank_combine_folds_heavy_splits(mesh):
+    """Forced tiny split_max makes every device recombine multi-partial
+    rows (fan-in > 1 guaranteed); the combine fold must equal the scatter
+    fold bit-for-bit-free at float tolerance."""
+    from hisparse_tpu.parallel.apps import ShardedPageRank
+    m = powerlaw_csr(400, 400, 8.0, seed=11)
+    prc = ShardedPageRank(m, mesh, interpret=True, split_max=8,
+                          fold="combine")
+    fan = max(int(np.bincount(
+        w.perm[w.perm < prc.st.rows_per_shard].astype(np.int64)).max())
+        for w in prc.st.packs)
+    assert fan > 1, "fixture must exercise hub-split recombination"
+    prs = ShardedPageRank(m, mesh, interpret=True, split_max=8,
+                          fold="scatter")
+    a, b = prc.run(iters=10), prs.run(iters=10)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("fold", ["combine", "scatter"])
+def test_sharded_sssp_early_exit_matches_dijkstra(mesh, fold):
     """Mesh Bellman-Ford converges in O(diameter) device iterations (the
     while_loop early-exit) and matches scipy Dijkstra, including
-    unreachable nodes."""
+    unreachable nodes — under both fold modes (min_plus combine weights
+    are 0 so combine=min)."""
     from hisparse_tpu.parallel.apps import ShardedSSSP
     from hisparse_tpu.models.apps import sssp_reference
     m = uniform_sparse_csr(500, 500, 4, seed=9)
     m.data[:] = np.abs(m.data) + 0.1
-    ss = ShardedSSSP(m, mesh, interpret=True)
+    ss = ShardedSSSP(m, mesh, interpret=True, fold=fold)
     d = ss.run(0)
     ref = sssp_reference(m, 0)
     fin = np.isfinite(ref)
@@ -283,13 +306,15 @@ def test_sharded_sssp_early_exit_matches_dijkstra(mesh):
     assert ss.iters_run < m.num_rows - 1   # early exit actually fired
 
 
-def test_sharded_bfs_levels(mesh):
+@pytest.mark.parametrize("fold", ["combine", "scatter"])
+def test_sharded_bfs_levels(mesh, fold):
     """Mesh BFS levels (device-side level bookkeeping) == scipy
-    unweighted shortest path, -1 for unreachable."""
+    unweighted shortest path, -1 for unreachable — under both fold
+    modes (max_times combine on 0/1 reachability)."""
     import scipy.sparse.csgraph as csgraph
     from hisparse_tpu.parallel.apps import ShardedBFS
     m = uniform_sparse_csr(500, 500, 4, seed=9)
-    bf = ShardedBFS(m, mesh, interpret=True)
+    bf = ShardedBFS(m, mesh, interpret=True, fold=fold)
     lv = bf.run(0)
     ref = csgraph.shortest_path(m.to_scipy() != 0, unweighted=True,
                                 indices=0)
